@@ -1,0 +1,146 @@
+"""Command-line entry points.
+
+Replaces the reference's two Make targets (`Makefile:18-27`): ``run`` is the
+interactive simulator (the `desktop_sph_fluid` / `pi_sph_fluid` equivalent,
+with --realtime and sensor/display selection as runtime flags instead of
+compile-time -D defines), ``bench`` free-runs without pacing (the
+commented-out-REALTIME benchmarking mode, `pi_sph_fluid.c:10`).
+
+    python -m pi_sph_fluid_tpu.cli run --scene drop --seconds 3 --display terminal
+    python -m pi_sph_fluid_tpu.cli bench --n 1000000 --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+from .config import SPHConfig
+from .models.scene import build_dam_break_scene, build_drop_scene
+
+
+def _make_scene(args):
+    if args.scene == "drop":
+        cfg = SPHConfig(r=args.r)
+        fluid, braw = build_drop_scene(cfg)
+    elif args.scene == "dam":
+        cfg = SPHConfig(r=args.r)
+        fluid, braw = build_dam_break_scene(cfg)
+    else:
+        raise SystemExit(f"unknown scene {args.scene!r}")
+    return cfg, fluid, braw
+
+
+def _make_gravity(args, cfg):
+    from .io.gravity import ConstantGravity, MPU6050Gravity, RotatingGravity
+
+    if args.gravity == "constant":
+        return ConstantGravity(cfg)
+    if args.gravity == "rotate":
+        return RotatingGravity(cfg, period_s=args.rotate_period)
+    if args.gravity == "mpu6050":
+        return MPU6050Gravity(cfg)
+    raise SystemExit(f"unknown gravity source {args.gravity!r}")
+
+
+def _make_sink(args):
+    from .io.display import AsyncSink, FileSink, NullSink, TerminalSink
+
+    if args.display == "none":
+        return NullSink()
+    if args.display == "terminal":
+        return AsyncSink(TerminalSink())
+    if args.display.startswith("file:"):
+        return AsyncSink(FileSink(args.display[5:]))
+    raise SystemExit(f"unknown display {args.display!r}")
+
+
+def cmd_run(args):
+    from .io.host_loop import SimRunner
+
+    cfg, fluid, braw = _make_scene(args)
+    print(f"dt = {cfg.dt:.6f}    (expected ticks/s) {int(1 / cfg.dt)}")
+    print(f"n_fluid = {fluid.n}")
+    print(f"n_boundary = {braw.n}")
+    runner = SimRunner(cfg, fluid, braw, backend=args.backend,
+                       render=args.display != "none")
+    gravity = _make_gravity(args, cfg)
+    sink = _make_sink(args)
+    try:
+        result = runner.run(
+            gravity, sink, sim_seconds=args.seconds, realtime=args.realtime,
+            report_stream=sys.stderr,
+        )
+    finally:
+        sink.close()
+    print(f"\n{result.steps} steps in {result.wall_s:.2f}s "
+          f"({result.particle_steps_per_s / 1e6:.2f}M particle-steps/s)",
+          file=sys.stderr)
+
+
+def cmd_bench(args):
+    from .io.gravity import ConstantGravity
+    from .io.host_loop import SimRunner
+
+    # size the dam-break scene to ~n particles (fill area is 2.56 m^2 at
+    # the default 4x2 domain and 0.4/0.8 fill fractions)
+    r = math.sqrt(2.56 / args.n)
+    cfg = SPHConfig(r=r)
+    fluid, braw = build_dam_break_scene(cfg)
+    runner = SimRunner(cfg, fluid, braw, backend=args.backend,
+                       render=args.render)
+    gravity = ConstantGravity(cfg)
+    # warmup dispatch compiles everything; must use the same scan length as
+    # the measured run or the measured run recompiles
+    runner.run(gravity, None, sim_seconds=args.steps * cfg.dt,
+               steps_per_dispatch=args.steps)
+    result = runner.run(gravity, None, sim_seconds=args.steps * cfg.dt,
+                        steps_per_dispatch=args.steps)
+    out = {
+        "metric": "particle_steps_per_s",
+        "value": result.particle_steps_per_s,
+        "unit": "particle-steps/s",
+        "n_fluid": result.n_fluid,
+        "steps": result.steps,
+        "wall_s": result.wall_s,
+        "backend": args.backend,
+        "max_rho_error_pct_worst": result.reporter.worst_rho_error_pct,
+        "neighbor_overflow": result.reporter.total_overflow,
+    }
+    print(json.dumps(out))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pi_sph_fluid_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("run", help="interactive simulation")
+    rp.add_argument("--scene", default="drop", choices=["drop", "dam"])
+    rp.add_argument("--r", type=float, default=0.075, help="particle spacing (m)")
+    rp.add_argument("--seconds", type=float, default=2.0, help="sim seconds")
+    rp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
+    rp.add_argument("--display", default="terminal",
+                    help="terminal | none | file:<path>")
+    rp.add_argument("--gravity", default="constant",
+                    choices=["constant", "rotate", "mpu6050"])
+    rp.add_argument("--rotate-period", type=float, default=4.0)
+    rp.add_argument("--realtime", action="store_true",
+                    help="pace to wall-clock like the reference REALTIME mode")
+    rp.set_defaults(fn=cmd_run)
+
+    bp = sub.add_parser("bench", help="headless throughput benchmark")
+    bp.add_argument("--n", type=int, default=1_000_000, help="target particle count")
+    bp.add_argument("--steps", type=int, default=200)
+    bp.add_argument("--steps-warmup", type=int, default=20)
+    bp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
+    bp.add_argument("--render", action="store_true", help="include rendering in the loop")
+    bp.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Display sinks — the output side of the host I/O shell.
+
+The reference blits the shared 1-bpp framebuffer to an SSD1306 OLED (or an
+SDL window) from a pthread in a busy loop (`pi_sph_fluid.c:466-470`).  Here a
+sink is a consumer of page-packed framebuffers produced on device; the run
+loop pushes at most one frame per dispatch and sinks drop frames rather than
+block (same tearing-tolerant contract as the reference, made explicit).
+"""
+
+from __future__ import annotations
+
+import queue
+import sys
+import threading
+
+import numpy as np
+
+from ..render.metaballs import unpack_framebuffer
+
+__all__ = ["NullSink", "TerminalSink", "FileSink", "AsyncSink"]
+
+
+class NullSink:
+    """Benchmark mode: frames are produced and dropped."""
+
+    def push(self, framebuffer: np.ndarray) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class TerminalSink:
+    """Renders the 128x64 framebuffer as unicode half-blocks (64x32 chars) —
+    the desktop_sph_fluid SDL window equivalent for a terminal."""
+
+    def __init__(self, rows: int = 64, cols: int = 128, stream=None):
+        self.rows, self.cols = rows, cols
+        self.stream = stream or sys.stdout
+        self._first = True
+
+    def push(self, framebuffer: np.ndarray) -> None:
+        img = unpack_framebuffer(framebuffer, self.rows, self.cols)
+        top = img[0::2]
+        bot = img[1::2]
+        glyphs = np.asarray([" ", "▀", "▄", "█"])  # none/top/bottom/both
+        chars = glyphs[(top.astype(int) + 2 * bot.astype(int))]
+        frame = "\n".join("".join(row) for row in chars)
+        if not self._first:
+            self.stream.write(f"\x1b[{self.rows // 2}A")  # cursor up, repaint in place
+        self._first = False
+        self.stream.write(frame + "\n")
+        self.stream.flush()
+
+    def close(self) -> None:
+        pass
+
+
+class FileSink:
+    """Appends raw packed framebuffers to a file (replayable / diffable)."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "ab")
+
+    def push(self, framebuffer: np.ndarray) -> None:
+        self.f.write(np.asarray(framebuffer, np.uint8).tobytes())
+
+    def close(self) -> None:
+        self.f.close()
+
+
+class AsyncSink:
+    """Wraps any sink with the reference's thread decoupling
+    (`pi_sph_fluid.c:466-470`): the sim loop never blocks on display I/O.
+    Frames are handed off through a depth-1 queue; if the consumer is busy,
+    the old frame is dropped (the reference's tearing, made a clean drop)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.q: queue.Queue = queue.Queue(maxsize=1)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                frame = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            self.inner.push(frame)
+
+    def push(self, framebuffer: np.ndarray) -> None:
+        try:
+            self.q.put_nowait(framebuffer)
+        except queue.Full:
+            try:  # replace the stale frame
+                self.q.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self.q.put_nowait(framebuffer)
+            except queue.Full:
+                pass
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self.inner.close()

@@ -1,0 +1,131 @@
+"""The host run loop: K device steps per dispatch, async I/O at the edges.
+
+This replaces the reference's `main` loop (`pi_sph_fluid.c:610-703`) — the
+omp-single integration, 60 Hz draw timer, stats block and REALTIME spin-wait
+— with the TPU-shaped equivalent: the device advances K steps per dispatch
+(one `lax.scan`), gravity is sampled per batch (a (K, 2) trace), at most one
+frame is rendered per dispatch and pushed to a non-blocking sink, and pacing
+sleeps instead of spinning.
+
+The device never waits on the host mid-batch; the host never blocks on
+display I/O (io/display.AsyncSink).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SPHConfig
+from ..models.boundary import prepare_boundary
+from ..models.simulation import make_multi_step, prime
+from ..models.engine_pallas import PallasDims, PallasEngine
+from ..render.metaballs import make_renderer
+from ..utils.stats import StatsReporter
+
+__all__ = ["SimRunner"]
+
+
+@dataclass
+class RunResult:
+    sim: object
+    reporter: StatsReporter
+    wall_s: float
+    steps: int
+
+    @property
+    def particle_steps_per_s(self) -> float:
+        return self.n_fluid * self.steps / self.wall_s if self.wall_s else 0.0
+
+    n_fluid: int = 0
+
+
+class SimRunner:
+    """Owns the compiled step/render functions for one scene.
+
+    backend: "reference" (jnp oracle) or "pallas" (fused kernels).
+    """
+
+    def __init__(
+        self,
+        cfg: SPHConfig,
+        fluid,
+        boundary_raw,
+        backend: str = "pallas",
+        dims: PallasDims | None = None,
+        render: bool = True,
+        render_shape: tuple[int, int] = (64, 128),
+    ):
+        self.cfg = cfg
+        self.n_fluid = fluid.n
+        self.backend = backend
+        boundary, bgrid = prepare_boundary(boundary_raw, cfg)
+        self.boundary = boundary
+
+        if backend == "pallas":
+            self.engine = PallasEngine(cfg, boundary, bgrid, fluid.n, dims)
+            self._prime = lambda g: self.engine.prime(fluid, g)
+            multi = self.engine.make_multi_step()
+        elif backend == "reference":
+            self.engine = None
+            self._prime = lambda g: prime(fluid, boundary, bgrid, g, cfg)
+            multi = make_multi_step(cfg, boundary, bgrid)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+        self._renderer = make_renderer(cfg, *render_shape) if render else None
+
+        if self._renderer is None:
+            self._dispatch = jax.jit(multi)
+        else:
+            renderer = self._renderer
+
+            @jax.jit
+            def dispatch(sim, g_trace):
+                sim, st = multi(sim, g_trace)
+                return sim, st, renderer(sim.fluid)
+
+            self._dispatch = dispatch
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        gravity_source,
+        sink=None,
+        sim_seconds: float = 1.0,
+        realtime: bool = False,
+        steps_per_dispatch: int | None = None,
+        report_stream=None,
+    ) -> RunResult:
+        cfg = self.cfg
+        dt = cfg.dt
+        # default batch: one 60 Hz display frame worth of steps
+        # (`pi_sph_fluid.c:648`), like the reference's draw cadence
+        k = steps_per_dispatch or max(1, int(round(1.0 / (60.0 * dt))))
+        n_dispatch = max(1, int(round(sim_seconds / (k * dt))))
+
+        sim = self._prime(gravity_source.current())
+        reporter = StatsReporter(dt=dt, stream=report_stream)
+        t0 = time.perf_counter()
+        sim_t = 0.0
+        for _ in range(n_dispatch):
+            g_trace = jnp.asarray(gravity_source.trace(k, dt))
+            if self._renderer is None:
+                sim, st = self._dispatch(sim, g_trace)
+            else:
+                sim, st, frame = self._dispatch(sim, g_trace)
+                if sink is not None:
+                    sink.push(jax.device_get(frame))
+            reporter.update(k, st)
+            sim_t += k * dt
+            if realtime:
+                behind = sim_t - (time.perf_counter() - t0)
+                if behind > 0:
+                    time.sleep(behind)
+        jax.block_until_ready(sim.fluid.x)
+        wall = time.perf_counter() - t0
+        return RunResult(sim=sim, reporter=reporter, wall_s=wall,
+                         steps=k * n_dispatch, n_fluid=self.n_fluid)

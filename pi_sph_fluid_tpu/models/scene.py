@@ -120,12 +120,15 @@ def build_dam_break_scene(
     domain up to ``fill_y`` of its height (BASELINE.json config 2)."""
     x_max = np.float32(cfg.width) * np.float32(fill_x)
     y_max = np.float32(cfg.height) * np.float32(fill_y)
-    # keep a half-spacing gap from the walls so the column doesn't start
-    # interpenetrating the boundary particles
-    gap = np.float32(cfg.r) * np.float32(0.5)
+    # Start the column >= 2R off the walls: Akinci wall particles carry ~6x a
+    # fluid particle's mass (they stand in for the half-space behind the
+    # wall), so fluid initialised at distance R is ~70% over-dense and the
+    # first pressure pass explodes.  At >= 1.5R the primed density matches
+    # the interior lattice (973 kg/m^3 at defaults); 2R adds safety margin.
+    gap = np.float32(cfg.r) * np.float32(2.0)
 
     def predicate(x, y):
-        return (x > gap) & (x < x_max) & (y > gap) & (y < y_max)
+        return (x >= gap) & (x < x_max) & (y >= gap) & (y < y_max)
 
     return build_fluid(cfg, predicate), build_box_boundary(cfg)
 

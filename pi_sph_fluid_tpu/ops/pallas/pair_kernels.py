@@ -1,0 +1,525 @@
+"""Fused Pallas TPU kernels for the WCSPH pair passes.
+
+These replace the jnp reference passes (ops/density.py, ops/forces.py) — the
+TPU equivalent of the reference's OpenMP pair loops (`pi_sph_fluid.c:263-373`)
+— with the memory system treated explicitly:
+
+* particle state is **grid-sorted** and packed two ways: ``(n_pad, 8)`` for
+  query tiles (fields on lanes, queries on sublanes -> zero-relayout
+  ``(tq, 1)`` field slices) and ``(8, n_pad + cap)`` for candidates (fields
+  on sublanes -> one strided DMA fetches a whole span of all fields as
+  ``(8, cap)``, and ``(1, chunk)`` field rows broadcast against queries);
+* each grid instance owns TQ consecutive sorted queries; its candidates are
+  up to ``nr`` contiguous spans (ops/pallas/spans.py) DMA'd HBM -> VMEM,
+  DMA starts 128-lane aligned (Mosaic tiling) with the leading ``extra``
+  lanes masked;
+* pair math runs on ``(tq, 128)`` VPU chunks inside a fori_loop bounded by
+  the *actual* span length, so empty spans (most boundary spans, unused
+  span slots) cost nothing and short spans cost proportionally — the work
+  per tile tracks the true candidate count, not the static capacity;
+* masks (lane in span, r < 2H, candidate != self) make the result exactly
+  equal to the jnp oracle — tests assert it;
+* density + Tait EOS fuse into one kernel; the force kernel additionally
+  streams the freshly-computed ``(2, ...)`` rho/p candidate rows.
+
+Field order in packed arrays: x, y, u, v, m, rho, p, (pad).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import SPHConfig
+from ...core.pair_terms import artificial_pressure_ref_w
+
+X, Y, U, V, M, RHO, P = range(7)
+NFIELDS = 8
+LANE = 128
+
+__all__ = ["PallasDims", "pack_queries", "pack_candidates", "density_eos_call", "forces_call"]
+
+
+class PallasDims(NamedTuple):
+    """Static kernel shape parameters."""
+
+    tq: int = 64         # queries per tile (also the layout row alignment)
+    nr: int = 3          # fluid span slots (row layout: exactly 3)
+    cap: int = 512       # fluid candidates per span (incl. <=127 alignment lanes)
+    nrb: int = 3         # boundary span slots
+    capb: int = 256      # boundary candidates per span (incl. alignment lanes)
+    row_slack: float = 1.35  # per-cell compression slack for rowcap (see spans.py)
+    interpret: bool = False
+
+
+def pack_queries(fields) -> jnp.ndarray:
+    """7 x (n,) float32 -> (n, 8) query-major packed array."""
+    n = fields[0].shape[0]
+    cols = list(fields) + [jnp.zeros((n,), jnp.float32)]
+    return jnp.stack(cols, axis=1)
+
+
+def pack_candidates(fields, cap: int) -> jnp.ndarray:
+    """7 x (n,) float32 -> (8, n + cap) candidate-major packed array.
+
+    The +cap zero tail keeps fixed-size span DMAs in bounds without
+    clamping span starts (clamping would break global-index self-exclusion).
+    """
+    n = fields[0].shape[0]
+    rows = list(fields) + [jnp.zeros((n,), jnp.float32)]
+    packed = jnp.stack(rows, axis=0)
+    return jnp.pad(packed, ((0, 0), (0, cap)))
+
+
+def _pad8(arr):
+    """Pad a (n_tiles, nr) span array to a multiple of 8 rows for the
+    (8, nr) SMEM block spec."""
+    n = arr.shape[0]
+    pad = (-n) % 8
+    return jnp.pad(arr, ((0, pad), (0, 0))) if pad else arr
+
+
+def _aligned_start(start):
+    """TPU memrefs are lane-tiled: DMA slice offsets must be 128-divisible.
+    Align the span start down and return (aligned, extra); the first
+    ``extra`` lanes of the fetched window are masked out and caps are sized
+    with 128 slack (see spans.py overflow accounting)."""
+    a = pl.multiple_of((start // LANE) * LANE, LANE)
+    return a, start - a
+
+
+def _pair_w(dx, dy, cfg: SPHConfig):
+    """Wendland C2 value + gradient coefficient on a pair chunk.
+
+    grad_i W = gcoef * (dx, dy); both masked outside the support (see
+    core/kernels.py for the derivation and the r=0 analysis)."""
+    norm = jnp.float32(cfg.kernel_norm)
+    h = jnp.float32(cfg.h)
+    r2 = dx * dx + dy * dy
+    r = jnp.sqrt(r2)
+    q = r / h
+    inside = q < 2.0
+    t1 = 1.0 - 0.5 * q
+    t1sq = t1 * t1
+    w = jnp.where(inside, norm * t1sq * t1sq * (1.0 + 2.0 * q), 0.0)
+    gcoef = jnp.where(inside, norm * (-5.0) * (t1sq * t1) / (h * h), 0.0)
+    return r, w, gcoef
+
+
+# ---------------------------------------------------------------------------
+# density + EOS kernel
+# ---------------------------------------------------------------------------
+
+
+def _density_kernel(
+    # scalar prefetch (flat 1D: 2D SMEM arrays pad rows to 128 lanes)
+    f_start, f_len, b_start, b_len,
+    # inputs
+    q_ref,            # (tq, 8) query tile
+    fc_hbm,           # (8, n_pad + cap) fluid candidates
+    bc_hbm,           # (8, nb_pad + capb) boundary candidates
+    # output
+    out_ref,          # (tq, 2): rho, p
+    # scratch
+    cf, cb, sem_f, sem_b,
+    *, cfg: SPHConfig, dims: PallasDims,
+):
+    i = pl.program_id(0)
+    ib = i % 8  # row within the (8, nr) SMEM span block
+    tq, nr, cap, nrb, capb = dims.tq, dims.nr, dims.cap, dims.nrb, dims.capb
+    support = jnp.float32(cfg.support_radius)
+
+    for s in range(nr):
+        a, _ = _aligned_start(f_start[ib, s])
+
+        def _start_f(a=a, s=s):
+            pltpu.make_async_copy(
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
+            ).start()
+
+        if dims.interpret:
+            _start_f()
+        else:
+            pl.when(f_len[ib, s] > 0)(_start_f)
+    for s in range(nrb):
+        a, _ = _aligned_start(b_start[ib, s])
+
+        def _start_b(a=a, s=s):
+            pltpu.make_async_copy(
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
+            ).start()
+
+        if dims.interpret:  # predicated DMA deadlocks the interpreter
+            _start_b()
+        else:
+            pl.when(b_len[ib, s] > 0)(_start_b)
+
+    qx = q_ref[:, X].reshape(tq, 1)
+    qy = q_ref[:, Y].reshape(tq, 1)
+    qm = q_ref[:, M].reshape(tq, 1)
+    q_global = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+
+    rho = qm * jnp.float32(cfg.kernel_norm)  # self term (`pi_sph_fluid.c:274-275`)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    for s in range(nr):
+        a, extra = _aligned_start(f_start[ib, s])
+        length = f_len[ib, s]
+
+        def _wait_f(a=a, s=s):
+            pltpu.make_async_copy(
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_f()
+        else:
+            pl.when(length > 0)(_wait_f)
+        total = jnp.minimum(extra + length, cap)
+        n_chunks = (total + LANE - 1) // LANE
+
+        def chunk(c, acc):
+            off = pl.multiple_of(c * LANE, LANE)
+            cx = cf[s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cf[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cm = cf[s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            dx = qx - cx
+            dy = qy - cy
+            r, w, _ = _pair_w(dx, dy, cfg)
+            lane_idx = off + lane
+            mask = (
+                (lane_idx >= extra) & (lane_idx < total)
+                & (r < support) & (a + lane_idx != q_global)
+            )
+            return acc + jnp.sum(jnp.where(mask, cm * w, 0.0), axis=1, keepdims=True)
+
+        rho = jax.lax.fori_loop(0, n_chunks, chunk, rho)
+
+    for s in range(nrb):
+        a, extra = _aligned_start(b_start[ib, s])
+        length = b_len[ib, s]
+
+        def _wait_b(a=a, s=s):
+            pltpu.make_async_copy(
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_b()
+        else:
+            pl.when(length > 0)(_wait_b)
+        total = jnp.minimum(extra + length, capb)
+        n_chunks = (total + LANE - 1) // LANE
+
+        def chunk_b(c, acc):
+            off = pl.multiple_of(c * LANE, LANE)
+            cx = cb[s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cb[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cm = cb[s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            dx = qx - cx
+            dy = qy - cy
+            r, w, _ = _pair_w(dx, dy, cfg)
+            lane_idx = off + lane
+            mask = (lane_idx >= extra) & (lane_idx < total) & (r < support)
+            return acc + jnp.sum(jnp.where(mask, cm * w, 0.0), axis=1, keepdims=True)
+
+        rho = jax.lax.fori_loop(0, n_chunks, chunk_b, rho)
+
+    # Tait EOS with negative clamp (`pi_sph_fluid.c:294-301`), fused
+    ratio = rho / jnp.float32(cfg.rho_0)
+    r2 = ratio * ratio
+    r4 = r2 * r2
+    p = jnp.maximum(jnp.float32(cfg.tait_b) * (r4 * r2 * ratio - 1.0), 0.0)
+
+    out_ref[:, 0:1] = rho
+    out_ref[:, 1:2] = p
+
+
+def density_eos_call(
+    q_packed,        # (n_pad, 8)
+    fc_packed,       # (8, n_pad + cap)
+    bc_packed,       # (8, nb_pad + capb)
+    f_spans, b_spans,  # TileSpans
+    cfg: SPHConfig,
+    dims: PallasDims,
+):
+    n_pad = q_packed.shape[0]
+    n_tiles = n_pad // dims.tq
+    # spans ride as (8, nr) SMEM blocks (one row per tile): full scalar
+    # prefetch would put all n_tiles*nr ints in the 1MB SMEM at once, which
+    # overflows beyond ~500k particles
+    f_span_spec = pl.BlockSpec((8, dims.nr), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    b_span_spec = pl.BlockSpec((8, dims.nrb), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            f_span_spec, f_span_spec, b_span_spec, b_span_spec,
+            pl.BlockSpec((dims.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((dims.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dims.nr, NFIELDS, dims.cap), jnp.float32),
+            pltpu.VMEM((dims.nrb, NFIELDS, dims.capb), jnp.float32),
+            pltpu.SemaphoreType.DMA((dims.nr,)),
+            pltpu.SemaphoreType.DMA((dims.nrb,)),
+        ],
+    )
+    kernel = functools.partial(_density_kernel, cfg=cfg, dims=dims)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=dims.interpret,
+    )(_pad8(f_spans.start), _pad8(f_spans.length),
+      _pad8(b_spans.start), _pad8(b_spans.length),
+      q_packed, fc_packed, bc_packed)
+
+
+# ---------------------------------------------------------------------------
+# force kernel
+# ---------------------------------------------------------------------------
+
+
+def _forces_kernel(
+    f_start, f_len, b_start, b_len, g_ref,
+    q_ref,            # (tq, 8)
+    qrp_ref,          # (tq, 2) fresh rho/p of queries
+    fc_hbm,           # (8, n_pad + cap) positions/velocities/masses
+    rp_hbm,           # (2, n_pad + cap) fresh rho/p candidate rows
+    bc_hbm,           # (8, nb_pad + capb)
+    out_ref,          # (tq, 2): du_dt, dv_dt
+    cf, crp, cb, sem_f, sem_rp, sem_b,
+    *, cfg: SPHConfig, dims: PallasDims,
+):
+    gx = g_ref[0, 0]
+    gy = g_ref[0, 1]
+    i = pl.program_id(0)
+    ib = i % 8  # row within the (8, nr) SMEM span block
+    tq, nr, cap, nrb, capb = dims.tq, dims.nr, dims.cap, dims.nrb, dims.capb
+    support = jnp.float32(cfg.support_radius)
+
+    for s in range(nr):
+        a, _ = _aligned_start(f_start[ib, s])
+
+        def _start_f(a=a, s=s):
+            pltpu.make_async_copy(
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
+            ).start()
+            pltpu.make_async_copy(
+                rp_hbm.at[:, pl.ds(a, cap)], crp.at[s], sem_rp.at[s]
+            ).start()
+
+        if dims.interpret:
+            _start_f()
+        else:
+            pl.when(f_len[ib, s] > 0)(_start_f)
+    for s in range(nrb):
+        a, _ = _aligned_start(b_start[ib, s])
+
+        def _start_b(a=a, s=s):
+            pltpu.make_async_copy(
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
+            ).start()
+
+        if dims.interpret:  # predicated DMA deadlocks the interpreter
+            _start_b()
+        else:
+            pl.when(b_len[ib, s] > 0)(_start_b)
+
+    qx = q_ref[:, X].reshape(tq, 1)
+    qy = q_ref[:, Y].reshape(tq, 1)
+    qu = q_ref[:, U].reshape(tq, 1)
+    qv = q_ref[:, V].reshape(tq, 1)
+    qm = q_ref[:, M].reshape(tq, 1)
+    q_rho = qrp_ref[:, 0].reshape(tq, 1)
+    q_p = qrp_ref[:, 1].reshape(tq, 1)
+    q_global = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+
+    # p_i/rho_i^2, guarded for pad slots where rho may be 0
+    q_press = jnp.where(q_rho > 0.0, q_p / (q_rho * q_rho), 0.0)
+
+    h = jnp.float32(cfg.h)
+    c_sound = jnp.float32(cfg.c)
+    alpha = jnp.float32(cfg.alpha_visc)
+    eps_h2 = jnp.float32(cfg.eps_visc) * h * h
+    inv_w_ref = jnp.float32(1.0) / jnp.float32(artificial_pressure_ref_w(cfg))
+    k_ap = jnp.float32(cfg.k_artificial_pressure)
+
+    sum_x = jnp.zeros((tq, 1), jnp.float32)
+    sum_y = jnp.zeros((tq, 1), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    for s in range(nr):
+        a, extra = _aligned_start(f_start[ib, s])
+        length = f_len[ib, s]
+
+        def _wait_f(a=a, s=s):
+            pltpu.make_async_copy(
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
+            ).wait()
+            pltpu.make_async_copy(
+                rp_hbm.at[:, pl.ds(a, cap)], crp.at[s], sem_rp.at[s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_f()
+        else:
+            pl.when(length > 0)(_wait_f)
+        total = jnp.minimum(extra + length, cap)
+        n_chunks = (total + LANE - 1) // LANE
+
+        def chunk(c, acc):
+            sx, sy = acc
+            off = pl.multiple_of(c * LANE, LANE)
+            cx = cf[s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cf[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cu = cf[s, U, pl.ds(off, LANE)].reshape(1, LANE)
+            cv = cf[s, V, pl.ds(off, LANE)].reshape(1, LANE)
+            cm = cf[s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            c_rho = crp[s, 0, pl.ds(off, LANE)].reshape(1, LANE)
+            c_p = crp[s, 1, pl.ds(off, LANE)].reshape(1, LANE)
+
+            dx = qx - cx
+            dy = qy - cy
+            du = qu - cu
+            dv = qv - cv
+            r, w, gcoef = _pair_w(dx, dy, cfg)
+
+            # symmetric pressure (`pi_sph_fluid.c:321`)
+            pressure = q_press + jnp.where(c_rho > 0.0, c_p / (c_rho * c_rho), 0.0)
+            # Macklin artificial pressure (`pi_sph_fluid.c:325`)
+            ap_ratio = w * inv_w_ref
+            ap2 = ap_ratio * ap_ratio
+            artif = k_ap * (ap2 * ap2)
+            # Monaghan viscosity, pair-mean density (`pi_sph_fluid.c:328-334`)
+            xy_uv = dx * du + dy * dv
+            xy_xy = dx * dx + dy * dy
+            mu = h * xy_uv / (xy_xy + eps_h2)
+            mean_rho = (q_rho + c_rho) * 0.5
+            visc = jnp.where(
+                (xy_uv < 0.0) & (mean_rho > 0.0),
+                -alpha * c_sound * mu / mean_rho, 0.0,
+            )
+
+            term = pressure + artif + visc
+            lane_idx = off + lane
+            mask = (
+                (lane_idx >= extra) & (lane_idx < total)
+                & (r < support) & (a + lane_idx != q_global)
+            )
+            coef = jnp.where(mask, cm * term, 0.0)
+            return (sx + jnp.sum(coef * (gcoef * dx), axis=1, keepdims=True),
+                    sy + jnp.sum(coef * (gcoef * dy), axis=1, keepdims=True))
+
+        sum_x, sum_y = jax.lax.fori_loop(0, n_chunks, chunk, (sum_x, sum_y))
+
+    for s in range(nrb):
+        a, extra = _aligned_start(b_start[ib, s])
+        length = b_len[ib, s]
+
+        def _wait_b(a=a, s=s):
+            pltpu.make_async_copy(
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_b()
+        else:
+            pl.when(length > 0)(_wait_b)
+        total = jnp.minimum(extra + length, capb)
+        n_chunks = (total + LANE - 1) // LANE
+
+        def chunk_b(c, acc):
+            sx, sy = acc
+            off = pl.multiple_of(c * LANE, LANE)
+            cx = cb[s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cb[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cu = cb[s, U, pl.ds(off, LANE)].reshape(1, LANE)
+            cv = cb[s, V, pl.ds(off, LANE)].reshape(1, LANE)
+            cpsi = cb[s, M, pl.ds(off, LANE)].reshape(1, LANE)
+
+            dx = qx - cx
+            dy = qy - cy
+            du = qu - cu
+            dv = qv - cv
+            r, w, gcoef = _pair_w(dx, dy, cfg)
+
+            # boundary variant: fluid-only pressure + fluid-density viscosity
+            # (`pi_sph_fluid.c:350,362`)
+            ap_ratio = w * inv_w_ref
+            ap2 = ap_ratio * ap_ratio
+            artif = k_ap * (ap2 * ap2)
+            xy_uv = dx * du + dy * dv
+            xy_xy = dx * dx + dy * dy
+            mu = h * xy_uv / (xy_xy + eps_h2)
+            visc = jnp.where(
+                (xy_uv < 0.0) & (q_rho > 0.0),
+                -alpha * c_sound * mu / q_rho, 0.0,
+            )
+            term = q_press + artif + visc
+            lane_idx = off + lane
+            mask = (lane_idx >= extra) & (lane_idx < total) & (r < support)
+            coef = jnp.where(mask, cpsi * term, 0.0)
+            return (sx + jnp.sum(coef * (gcoef * dx), axis=1, keepdims=True),
+                    sy + jnp.sum(coef * (gcoef * dy), axis=1, keepdims=True))
+
+        sum_x, sum_y = jax.lax.fori_loop(0, n_chunks, chunk_b, (sum_x, sum_y))
+
+    q_valid = qm > 0.0  # pads carry zero mass (spans.py layout contract)
+    out_ref[:, 0:1] = jnp.where(q_valid, gx - sum_x, 0.0)
+    out_ref[:, 1:2] = jnp.where(q_valid, gy - sum_y, 0.0)
+
+
+def forces_call(
+    q_packed,        # (n_pad, 8)
+    q_rhop,          # (n_pad, 2) fresh rho/p (density kernel output)
+    fc_packed,       # (8, n_pad + cap)
+    rp_packed,       # (2, n_pad + cap)
+    bc_packed,       # (8, nb_pad + capb)
+    f_spans, b_spans,
+    g,               # (2,) gravity — traced, rides the scalar-prefetch path
+    cfg: SPHConfig,
+    dims: PallasDims,
+):
+    n_pad = q_packed.shape[0]
+    n_tiles = n_pad // dims.tq
+    f_span_spec = pl.BlockSpec((8, dims.nr), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    b_span_spec = pl.BlockSpec((8, dims.nrb), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            f_span_spec, f_span_spec, b_span_spec, b_span_spec,
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dims.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dims.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((dims.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dims.nr, NFIELDS, dims.cap), jnp.float32),
+            pltpu.VMEM((dims.nr, 2, dims.cap), jnp.float32),
+            pltpu.VMEM((dims.nrb, NFIELDS, dims.capb), jnp.float32),
+            pltpu.SemaphoreType.DMA((dims.nr,)),
+            pltpu.SemaphoreType.DMA((dims.nr,)),
+            pltpu.SemaphoreType.DMA((dims.nrb,)),
+        ],
+    )
+    kernel = functools.partial(_forces_kernel, cfg=cfg, dims=dims)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=dims.interpret,
+    )(_pad8(f_spans.start), _pad8(f_spans.length),
+      _pad8(b_spans.start), _pad8(b_spans.length),
+      jnp.asarray(g, jnp.float32).reshape(1, 2),
+      q_packed, q_rhop, fc_packed, rp_packed, bc_packed)

@@ -1,0 +1,102 @@
+"""Multi-chip slab decomposition vs the single-device oracle, on the 8-device
+virtual CPU mesh (conftest.py) — the JAX analog of the reference's
+compile-time backend substitution (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from pi_sph_fluid_tpu.config import SPHConfig
+from pi_sph_fluid_tpu.models.boundary import prepare_boundary
+from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+from pi_sph_fluid_tpu.models.simulation import make_step, prime
+from pi_sph_fluid_tpu.parallel.domain import DomainDecomposition
+
+G = (0.0, -9.81)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SPHConfig(r=0.032)
+    fluid, braw = build_dam_break_scene(cfg)
+    boundary, bgrid = prepare_boundary(braw, cfg)
+    return cfg, fluid, boundary, bgrid
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("x",))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_step_matches_oracle(setup, n_dev):
+    cfg, fluid, boundary, bgrid = setup
+    mesh = _mesh(n_dev)
+    dd = DomainDecomposition(cfg, boundary, bgrid, fluid.n, mesh)
+    state = dd.init(fluid)
+
+    ostep = jax.jit(make_step(cfg, boundary, bgrid))
+    step = jax.jit(dd.make_step())
+    g = jnp.asarray(G, jnp.float32)
+    # both start from the same zero-acceleration state (DomainState has no
+    # prime; the first kick is a no-op and density/forces are recomputed
+    # inside the step, so initial rho/p values are irrelevant)
+    from pi_sph_fluid_tpu.models.simulation import SimState
+    zsim = SimState(fluid=fluid, ids=jnp.arange(fluid.n, dtype=jnp.int32),
+                    au=jnp.zeros_like(fluid.u), av=jnp.zeros_like(fluid.v))
+
+    n_steps = 10
+    for _ in range(n_steps):
+        state, st = step(state, g)
+    for _ in range(n_steps):
+        zsim, _ = ostep(zsim, g)
+
+    assert int(st["overflow"]) == 0
+    assert int(st["n_valid"]) == fluid.n
+
+    got = dd.gather(state)
+    inv = np.argsort(np.asarray(zsim.ids))
+    for field, atol, rtol in (("x", 2e-5, 0), ("y", 2e-5, 0), ("u", 2e-5, 0),
+                              ("v", 2e-5, 0), ("rho", 0, 1e-6)):
+        ours = np.asarray(getattr(got, field))
+        ref = np.asarray(getattr(zsim.fluid, field))[inv]
+        np.testing.assert_allclose(ours, ref, atol=atol, rtol=rtol,
+                                   err_msg=f"{field} mismatch at D={n_dev}")
+
+
+def test_migration_across_slabs(setup):
+    """Particles crossing slab boundaries keep their identity and count."""
+    cfg, fluid, boundary, bgrid = setup
+    mesh = _mesh(4)
+    dd = DomainDecomposition(cfg, boundary, bgrid, fluid.n, mesh)
+    # give the fluid a strong rightward velocity so it crosses slabs
+    fluid2 = fluid._replace(u=jnp.full_like(fluid.u, 3.0))
+    state = dd.init(fluid2)
+    step = jax.jit(dd.make_step())
+    g = jnp.asarray((3.0, -9.81), jnp.float32)
+    for _ in range(60):
+        state, st = step(state, g)
+    assert int(st["n_valid"]) == fluid.n  # no particles lost or duplicated
+    assert int(st["overflow"]) == 0
+    got = dd.gather(state)
+    assert got.x.shape[0] == fluid.n
+    ids = np.sort(np.asarray(state.ids)[np.asarray(state.ids) >= 0])
+    np.testing.assert_array_equal(ids, np.arange(fluid.n))
+    # the fluid actually moved right across slab boundaries
+    assert float(jnp.mean(got.x)) > float(jnp.mean(fluid.x)) + 0.05
+
+
+def test_init_distributes_by_slab(setup):
+    cfg, fluid, boundary, bgrid = setup
+    mesh = _mesh(8)
+    dd = DomainDecomposition(cfg, boundary, bgrid, fluid.n, mesh)
+    state = dd.init(fluid)
+    x = np.asarray(state.fluid.x).reshape(8, dd.slab_cap)
+    valid = np.asarray(state.fluid.m).reshape(8, dd.slab_cap) > 0
+    for dev in range(8):
+        if valid[dev].any():
+            xs = x[dev][valid[dev]]
+            assert xs.min() >= dev * dd.slab_w - 1e-6
+            assert xs.max() <= (dev + 1) * dd.slab_w + 1e-6
+    assert valid.sum() == fluid.n
