@@ -12,6 +12,7 @@ from .state import BoundaryState, FluidState, load_state, save_state
 from .models.scene import (
     build_dam_break_scene,
     build_drop_scene,
+    build_pool_scene,
     pixel_centers,
 )
 from .models.boundary import prepare_boundary
@@ -35,6 +36,7 @@ __all__ = [
     "load_state",
     "build_drop_scene",
     "build_dam_break_scene",
+    "build_pool_scene",
     "pixel_centers",
     "prepare_boundary",
     "SimState",

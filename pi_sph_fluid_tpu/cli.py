@@ -18,18 +18,16 @@ import math
 import sys
 
 from .config import SPHConfig
-from .models.scene import build_dam_break_scene, build_drop_scene
+from .models.scene import build_dam_break_scene, build_drop_scene, build_pool_scene
 
 
 def _make_scene(args):
-    if args.scene == "drop":
-        cfg = SPHConfig(r=args.r)
-        fluid, braw = build_drop_scene(cfg)
-    elif args.scene == "dam":
-        cfg = SPHConfig(r=args.r)
-        fluid, braw = build_dam_break_scene(cfg)
-    else:
+    cfg = SPHConfig(r=args.r)
+    builders = {"drop": build_drop_scene, "dam": build_dam_break_scene,
+                "pool": build_pool_scene}
+    if args.scene not in builders:
         raise SystemExit(f"unknown scene {args.scene!r}")
+    fluid, braw = builders[args.scene](cfg)
     return cfg, fluid, braw
 
 
@@ -71,7 +69,7 @@ def cmd_run(args):
     try:
         result = runner.run(
             gravity, sink, sim_seconds=args.seconds, realtime=args.realtime,
-            report_stream=sys.stderr,
+            report_stream=sys.stderr, settle_seconds=args.settle_seconds,
         )
     finally:
         sink.close()
@@ -84,11 +82,11 @@ def cmd_bench(args):
     from .io.gravity import ConstantGravity
     from .io.host_loop import SimRunner
 
-    # size the dam-break scene to ~n particles (fill area is 2.56 m^2 at
-    # the default 4x2 domain and 0.4/0.8 fill fractions)
-    r = math.sqrt(2.56 / args.n)
+    # size the pool scene to ~n particles (fill area ~6.35 m^2 at the
+    # default 4x2 domain; the pool is the layout's design point)
+    r = math.sqrt(6.35 / args.n)
     cfg = SPHConfig(r=r)
-    fluid, braw = build_dam_break_scene(cfg)
+    fluid, braw = build_pool_scene(cfg)
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
                        render=args.render)
     gravity = ConstantGravity(cfg)
@@ -117,7 +115,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     rp = sub.add_parser("run", help="interactive simulation")
-    rp.add_argument("--scene", default="drop", choices=["drop", "dam"])
+    rp.add_argument("--scene", default="drop", choices=["drop", "dam", "pool"])
     rp.add_argument("--r", type=float, default=0.075, help="particle spacing (m)")
     rp.add_argument("--seconds", type=float, default=2.0, help="sim seconds")
     rp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
@@ -128,6 +126,9 @@ def main(argv=None):
     rp.add_argument("--rotate-period", type=float, default=4.0)
     rp.add_argument("--realtime", action="store_true",
                     help="pace to wall-clock like the reference REALTIME mode")
+    rp.add_argument("--settle-seconds", type=float, default=0.0,
+                    help="damped pre-roll to bleed off the startup transient "
+                         "(recommended >= 0.3 for fine resolutions)")
     rp.set_defaults(fn=cmd_run)
 
     bp = sub.add_parser("bench", help="headless throughput benchmark")

@@ -40,16 +40,13 @@ class TerminalSink:
         self._first = True
 
     def push(self, framebuffer: np.ndarray) -> None:
-        img = unpack_framebuffer(framebuffer, self.rows, self.cols)
-        top = img[0::2]
-        bot = img[1::2]
-        glyphs = np.asarray([" ", "▀", "▄", "█"])  # none/top/bottom/both
-        chars = glyphs[(top.astype(int) + 2 * bot.astype(int))]
-        frame = "\n".join("".join(row) for row in chars)
+        from .native import blit_halfblocks
+
+        frame = blit_halfblocks(np.asarray(framebuffer, np.uint8), self.rows, self.cols)
         if not self._first:
             self.stream.write(f"\x1b[{self.rows // 2}A")  # cursor up, repaint in place
         self._first = False
-        self.stream.write(frame + "\n")
+        self.stream.write(frame)
         self.stream.flush()
 
     def close(self) -> None:

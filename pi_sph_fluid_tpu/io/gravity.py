@@ -109,13 +109,19 @@ class MPU6050Gravity:
         self._thread.start()
 
     def _read(self):
-        with open(f"{self.path}/in_accel_x_raw") as f:
-            ax = int(f.read())
-        with open(f"{self.path}/in_accel_y_raw") as f:
-            ay = int(f.read())
-        g = np.asarray(
-            [ay / (1 << 14) * self.g_mag, -ax / (1 << 14) * self.g_mag], np.float32
-        )
+        from .native import read_gravity_sysfs
+
+        native = read_gravity_sysfs(self.path, self.g_mag)
+        if native is not None:
+            g = np.asarray(native, np.float32)
+        else:
+            with open(f"{self.path}/in_accel_x_raw") as f:
+                ax = int(f.read())
+            with open(f"{self.path}/in_accel_y_raw") as f:
+                ay = int(f.read())
+            g = np.asarray(
+                [ay / (1 << 14) * self.g_mag, -ax / (1 << 14) * self.g_mag], np.float32
+            )
         with self._lock:
             self._g = g
 

@@ -69,10 +69,12 @@ class SimRunner:
             self.engine = PallasEngine(cfg, boundary, bgrid, fluid.n, dims)
             self._prime = lambda g: self.engine.prime(fluid, g)
             multi = self.engine.make_multi_step()
+            self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
         elif backend == "reference":
             self.engine = None
             self._prime = lambda g: prime(fluid, boundary, bgrid, g, cfg)
             multi = make_multi_step(cfg, boundary, bgrid)
+            self._settle_multi = jax.jit(make_multi_step(cfg, boundary, bgrid, damping=0.995))
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -99,6 +101,7 @@ class SimRunner:
         realtime: bool = False,
         steps_per_dispatch: int | None = None,
         report_stream=None,
+        settle_seconds: float = 0.0,
     ) -> RunResult:
         cfg = self.cfg
         dt = cfg.dt
@@ -108,8 +111,19 @@ class SimRunner:
         n_dispatch = max(1, int(round(sim_seconds / (k * dt))))
 
         sim = self._prime(gravity_source.current())
+        if settle_seconds > 0.0:
+            # damped pre-roll: bleeds off the non-equilibrium startup
+            # transient before the measured/displayed run.  Dispatched in
+            # k-step chunks (a single multi-second XLA program can trip
+            # device watchdogs).
+            n_settle = int(round(settle_seconds / dt))
+            g0 = jnp.broadcast_to(
+                jnp.asarray(gravity_source.current(), jnp.float32), (k, 2))
+            for _ in range(max(1, n_settle // k)):
+                sim, _ = self._settle_multi(sim, g0)
         reporter = StatsReporter(dt=dt, stream=report_stream)
         t0 = time.perf_counter()
+        t_mono0 = time.monotonic()
         sim_t = 0.0
         for _ in range(n_dispatch):
             g_trace = jnp.asarray(gravity_source.trace(k, dt))
@@ -122,9 +136,12 @@ class SimRunner:
             reporter.update(k, st)
             sim_t += k * dt
             if realtime:
-                behind = sim_t - (time.perf_counter() - t0)
-                if behind > 0:
-                    time.sleep(behind)
+                # precise pacing to the sim-time deadline (the reference's
+                # REALTIME spin-wait, `pi_sph_fluid.c:694-701`, as a
+                # sleep+spin hybrid — native when csrc is built)
+                from .native import pace_until
+
+                pace_until(t_mono0 + sim_t)
         jax.block_until_ready(sim.fluid.x)
         wall = time.perf_counter() - t0
         return RunResult(sim=sim, reporter=reporter, wall_s=wall,

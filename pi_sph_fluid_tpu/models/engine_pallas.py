@@ -163,10 +163,17 @@ class PallasEngine:
         return _prime(packed, ids, jnp.asarray(g, jnp.float32))
 
     # ------------------------------------------------------------------
-    def make_step(self):
+    def make_step(self, damping: float = 1.0):
+        """One tick.  ``damping`` < 1 scales velocities each step — the
+        standard damped-settling trick for initializing fine-resolution
+        scenes whose startup transient would otherwise breach the WCSPH
+        validity bound v < C/10 (the reference's design bound,
+        `pi_sph_fluid.c:16`; viscosity ~ alpha*c*h shrinks with h, so the
+        undamped transient grows with resolution)."""
         cfg = self.cfg
         dt = jnp.float32(cfg.dt)
         half_dt = jnp.float32(0.5) * dt
+        damp = jnp.float32(damping)
 
         def step(sim: PackedSim, g):
             g = jnp.asarray(g, jnp.float32)
@@ -183,8 +190,8 @@ class PallasEngine:
 
             pk, ids, au, av, overflow = self._force_pass(pk, sim.ids, g)
             # kick with new accelerations (`pi_sph_fluid.c:637-640`)
-            u2 = pk[:, 2] + half_dt * au
-            v2 = pk[:, 3] + half_dt * av
+            u2 = (pk[:, 2] + half_dt * au) * damp
+            v2 = (pk[:, 3] + half_dt * av) * damp
             pk = jnp.concatenate([pk[:, :2], u2[:, None], v2[:, None], pk[:, 4:]], axis=1)
 
             new_sim = PackedSim(packed=pk, ids=ids, au=au, av=av)
@@ -192,8 +199,8 @@ class PallasEngine:
 
         return step
 
-    def make_multi_step(self):
-        step = self.make_step()
+    def make_multi_step(self, damping: float = 1.0):
+        step = self.make_step(damping)
 
         def multi_step(sim: PackedSim, g_trace):
             return jax.lax.scan(step, sim, jnp.asarray(g_trace, jnp.float32))

@@ -133,6 +133,24 @@ def build_dam_break_scene(
     return build_fluid(cfg, predicate), build_box_boundary(cfg)
 
 
+def build_pool_scene(
+    cfg: SPHConfig, fill_x: float = 0.97, fill_y: float = 0.85
+) -> tuple[FluidState, BoundaryState]:
+    """A settled pool: fluid fills nearly the whole box width up to
+    ``fill_y`` of its height.  The steady state of every closed-box scene —
+    and the benchmark scene, since the row-padded layout is sized for full
+    row occupancy (ops/pallas/spans.py) and a pool actually uses it."""
+    x_lo = np.float32(cfg.width) * np.float32(1.0 - fill_x)
+    x_hi = np.float32(cfg.width) * np.float32(fill_x)
+    y_max = np.float32(cfg.height) * np.float32(fill_y)
+    gap = np.float32(cfg.r) * np.float32(2.0)  # Akinci wall standoff
+
+    def predicate(x, y):
+        return (x >= max(gap, x_lo)) & (x <= x_hi) & (y >= gap) & (y < y_max)
+
+    return build_fluid(cfg, predicate), build_box_boundary(cfg)
+
+
 def pixel_centers(cfg: SPHConfig, rows: int = 64, cols: int = 128) -> tuple[np.ndarray, np.ndarray]:
     """Centers of the display pixels as pseudo-particle coordinates
     (`pi_sph_fluid.c:570-577`): row 0 is the top of the screen, y flipped.

@@ -83,14 +83,18 @@ def prime(fluid: FluidState, boundary: BoundaryState, boundary_grid: GridContext
     return SimState(fluid=fluid, ids=ids, au=au, av=av)
 
 
-def make_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: GridContext):
+def make_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: GridContext,
+              damping: float = 1.0):
     """Build the single-tick function ``step(sim, g) -> (sim, StepStats)``.
 
     ``boundary``/``boundary_grid`` are static captures: immutable after scene
     build, exactly like the reference (`pi_sph_fluid.c:599-601`).
+    ``damping`` < 1 scales velocities per step (settling runs; see
+    engine_pallas.make_step).
     """
     dt = jnp.float32(cfg.dt)
     half_dt = jnp.float32(0.5) * dt
+    damp = jnp.float32(damping)
 
     def step(sim: SimState, g) -> tuple[SimState, StepStats]:
         g = jnp.asarray(g, jnp.float32)
@@ -106,7 +110,7 @@ def make_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: GridContex
         f, au, av = _forces(f, boundary, cand_ff, cand_fb, g, cfg)
 
         # kick (new accelerations) (`pi_sph_fluid.c:637-640`)
-        f = f._replace(u=f.u + half_dt * au, v=f.v + half_dt * av)
+        f = f._replace(u=(f.u + half_dt * au) * damp, v=(f.v + half_dt * av) * damp)
 
         new_sim = SimState(fluid=f, ids=ids, au=au, av=av)
         return new_sim, stats(new_sim, cfg, overflow)
@@ -114,12 +118,13 @@ def make_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: GridContex
     return step
 
 
-def make_multi_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: GridContext):
+def make_multi_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: GridContext,
+                    damping: float = 1.0):
     """Build ``multi_step(sim, g_trace) -> (sim, StepStats[K])``: K ticks per
     host dispatch via lax.scan.  ``g_trace`` has shape (K, 2) — a constant
     gravity is broadcast by the caller; a replayed accelerometer trace slots
     straight in (SURVEY.md §2 #14)."""
-    step = make_step(cfg, boundary, boundary_grid)
+    step = make_step(cfg, boundary, boundary_grid, damping)
 
     def multi_step(sim: SimState, g_trace):
         return jax.lax.scan(step, sim, jnp.asarray(g_trace, jnp.float32))

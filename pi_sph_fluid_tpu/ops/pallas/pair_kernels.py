@@ -48,7 +48,7 @@ __all__ = ["PallasDims", "pack_queries", "pack_candidates", "density_eos_call", 
 class PallasDims(NamedTuple):
     """Static kernel shape parameters."""
 
-    tq: int = 64         # queries per tile (also the layout row alignment)
+    tq: int = 128        # queries per tile (also the layout row alignment)
     nr: int = 3          # fluid span slots (row layout: exactly 3)
     cap: int = 512       # fluid candidates per span (incl. <=127 alignment lanes)
     nrb: int = 3         # boundary span slots
@@ -77,11 +77,12 @@ def pack_candidates(fields, cap: int) -> jnp.ndarray:
 
 
 def _pad8(arr):
-    """Pad a (n_tiles, nr) span array to a multiple of 8 rows for the
-    (8, nr) SMEM block spec."""
+    """Pad a (n_tiles, nr) span array to a multiple of 8 rows plus one extra
+    8-row group, so every tile's (16, nr) SMEM block window (own row +
+    next-tile prefetch row) stays in bounds."""
     n = arr.shape[0]
-    pad = (-n) % 8
-    return jnp.pad(arr, ((0, pad), (0, 0))) if pad else arr
+    pad = (-n) % 8 + 8
+    return jnp.pad(arr, ((0, pad), (0, 0)))
 
 
 def _aligned_start(start):
@@ -117,47 +118,79 @@ def _pair_w(dx, dy, cfg: SPHConfig):
 
 
 def _density_kernel(
-    # scalar prefetch (flat 1D: 2D SMEM arrays pad rows to 128 lanes)
+    # per-tile span scalars: (8, nr) SMEM blocks. The *_n refs are the same
+    # arrays mapped one block ahead, so the prefetch of tile i+1's spans can
+    # cross the 8-row block boundary (row ib+1, or row 0 of the next block).
     f_start, f_len, b_start, b_len,
+    f_start_n, f_len_n, b_start_n, b_len_n,
     # inputs
     q_ref,            # (tq, 8) query tile
     fc_hbm,           # (8, n_pad + cap) fluid candidates
     bc_hbm,           # (8, nb_pad + capb) boundary candidates
     # output
     out_ref,          # (tq, 2): rho, p
-    # scratch
+    # scratch (leading 2: double buffer across grid steps)
     cf, cb, sem_f, sem_b,
-    *, cfg: SPHConfig, dims: PallasDims,
+    *, cfg: SPHConfig, dims: PallasDims, n_tiles: int,
 ):
     i = pl.program_id(0)
-    ib = i % 8  # row within the (8, nr) SMEM span block
+    ib = i % 8  # this tile's row within its span block
     tq, nr, cap, nrb, capb = dims.tq, dims.nr, dims.cap, dims.nrb, dims.capb
     support = jnp.float32(cfg.support_radius)
 
-    for s in range(nr):
-        a, _ = _aligned_start(f_start[ib, s])
+    def next_val(cur, ahead, s):
+        # tile i+1's scalar: row ib+1 of this block, or row 0 of the next
+        return jnp.where(ib == 7, ahead[0, s], cur[jnp.minimum(ib + 1, 7), s])
 
-        def _start_f(a=a, s=s):
-            pltpu.make_async_copy(
-                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
-            ).start()
+    def start_spans(get_f, get_b, slot):
+        for s in range(nr):
+            st, ln = get_f(s)
+            a, _ = _aligned_start(st)
 
-        if dims.interpret:
-            _start_f()
-        else:
-            pl.when(f_len[ib, s] > 0)(_start_f)
-    for s in range(nrb):
-        a, _ = _aligned_start(b_start[ib, s])
+            def _go_f(a=a, s=s):
+                pltpu.make_async_copy(
+                    fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
+                ).start()
 
-        def _start_b(a=a, s=s):
-            pltpu.make_async_copy(
-                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
-            ).start()
+            if dims.interpret:
+                _go_f()
+            else:
+                pl.when(ln > 0)(_go_f)
+        for s in range(nrb):
+            st, ln = get_b(s)
+            a, _ = _aligned_start(st)
 
-        if dims.interpret:  # predicated DMA deadlocks the interpreter
-            _start_b()
-        else:
-            pl.when(b_len[ib, s] > 0)(_start_b)
+            def _go_b(a=a, s=s):
+                pltpu.make_async_copy(
+                    bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
+                ).start()
+
+            if dims.interpret:
+                _go_b()
+            else:
+                pl.when(ln > 0)(_go_b)
+
+    cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
+    cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
+    nxt_f = lambda s: (next_val(f_start, f_start_n, s), next_val(f_len, f_len_n, s))
+    nxt_b = lambda s: (next_val(b_start, b_start_n, s), next_val(b_len, b_len_n, s))
+
+    if dims.interpret:
+        slot = 0
+        start_spans(cur_f, cur_b, 0)
+    else:
+        # double buffer: tile 0 fetches its own spans; every tile prefetches
+        # the next tile's spans so compute never stalls on DMA issue latency
+        slot = i % 2
+        nxt = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            start_spans(cur_f, cur_b, slot)
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            start_spans(nxt_f, nxt_b, nxt)
 
     qx = q_ref[:, X].reshape(tq, 1)
     qy = q_ref[:, Y].reshape(tq, 1)
@@ -173,7 +206,7 @@ def _density_kernel(
 
         def _wait_f(a=a, s=s):
             pltpu.make_async_copy(
-                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
             ).wait()
 
         if dims.interpret:
@@ -185,9 +218,9 @@ def _density_kernel(
 
         def chunk(c, acc):
             off = pl.multiple_of(c * LANE, LANE)
-            cx = cf[s, X, pl.ds(off, LANE)].reshape(1, LANE)
-            cy = cf[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
-            cm = cf[s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            cx = cf[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cf[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cm = cf[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
             dx = qx - cx
             dy = qy - cy
             r, w, _ = _pair_w(dx, dy, cfg)
@@ -206,7 +239,7 @@ def _density_kernel(
 
         def _wait_b(a=a, s=s):
             pltpu.make_async_copy(
-                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
             ).wait()
 
         if dims.interpret:
@@ -218,9 +251,9 @@ def _density_kernel(
 
         def chunk_b(c, acc):
             off = pl.multiple_of(c * LANE, LANE)
-            cx = cb[s, X, pl.ds(off, LANE)].reshape(1, LANE)
-            cy = cb[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
-            cm = cb[s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            cx = cb[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cb[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cm = cb[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
             dx = qx - cx
             dy = qy - cy
             r, w, _ = _pair_w(dx, dy, cfg)
@@ -255,31 +288,35 @@ def density_eos_call(
     # overflows beyond ~500k particles
     f_span_spec = pl.BlockSpec((8, dims.nr), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
     b_span_spec = pl.BlockSpec((8, dims.nrb), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    f_span_ahead = pl.BlockSpec((8, dims.nr), lambda i: (i // 8 + 1, 0), memory_space=pltpu.SMEM)
+    b_span_ahead = pl.BlockSpec((8, dims.nrb), lambda i: (i // 8 + 1, 0), memory_space=pltpu.SMEM)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
             f_span_spec, f_span_spec, b_span_spec, b_span_spec,
+            f_span_ahead, f_span_ahead, b_span_ahead, b_span_ahead,
             pl.BlockSpec((dims.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((dims.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dims.nr, NFIELDS, dims.cap), jnp.float32),
-            pltpu.VMEM((dims.nrb, NFIELDS, dims.capb), jnp.float32),
-            pltpu.SemaphoreType.DMA((dims.nr,)),
-            pltpu.SemaphoreType.DMA((dims.nrb,)),
+            pltpu.VMEM((2, dims.nr, NFIELDS, dims.cap), jnp.float32),
+            pltpu.VMEM((2, dims.nrb, NFIELDS, dims.capb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, dims.nr)),
+            pltpu.SemaphoreType.DMA((2, dims.nrb)),
         ],
     )
-    kernel = functools.partial(_density_kernel, cfg=cfg, dims=dims)
-    return pl.pallas_call(
+    kernel = functools.partial(_density_kernel, cfg=cfg, dims=dims, n_tiles=n_tiles)
+    call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=dims.interpret,
-    )(_pad8(f_spans.start), _pad8(f_spans.length),
-      _pad8(b_spans.start), _pad8(b_spans.length),
-      q_packed, fc_packed, bc_packed)
+    )
+    fs, fl = _pad8(f_spans.start), _pad8(f_spans.length)
+    bs, bl = _pad8(b_spans.start), _pad8(b_spans.length)
+    return call(fs, fl, bs, bl, fs, fl, bs, bl, q_packed, fc_packed, bc_packed)
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +325,9 @@ def density_eos_call(
 
 
 def _forces_kernel(
-    f_start, f_len, b_start, b_len, g_ref,
+    f_start, f_len, b_start, b_len,
+    f_start_n, f_len_n, b_start_n, b_len_n,
+    g_ref,
     q_ref,            # (tq, 8)
     qrp_ref,          # (tq, 2) fresh rho/p of queries
     fc_hbm,           # (8, n_pad + cap) positions/velocities/masses
@@ -296,42 +335,68 @@ def _forces_kernel(
     bc_hbm,           # (8, nb_pad + capb)
     out_ref,          # (tq, 2): du_dt, dv_dt
     cf, crp, cb, sem_f, sem_rp, sem_b,
-    *, cfg: SPHConfig, dims: PallasDims,
+    *, cfg: SPHConfig, dims: PallasDims, n_tiles: int,
 ):
     gx = g_ref[0, 0]
     gy = g_ref[0, 1]
     i = pl.program_id(0)
-    ib = i % 8  # row within the (8, nr) SMEM span block
+    ib = i % 8  # this tile's row within its (16, nr) span block
     tq, nr, cap, nrb, capb = dims.tq, dims.nr, dims.cap, dims.nrb, dims.capb
     support = jnp.float32(cfg.support_radius)
 
-    for s in range(nr):
-        a, _ = _aligned_start(f_start[ib, s])
+    def next_val(cur, ahead, s):
+        return jnp.where(ib == 7, ahead[0, s], cur[jnp.minimum(ib + 1, 7), s])
 
-        def _start_f(a=a, s=s):
-            pltpu.make_async_copy(
-                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
-            ).start()
-            pltpu.make_async_copy(
-                rp_hbm.at[:, pl.ds(a, cap)], crp.at[s], sem_rp.at[s]
-            ).start()
+    def start_spans(get_f, get_b, slot):
+        for s in range(nr):
+            st, ln = get_f(s)
+            a, _ = _aligned_start(st)
 
-        if dims.interpret:
-            _start_f()
-        else:
-            pl.when(f_len[ib, s] > 0)(_start_f)
-    for s in range(nrb):
-        a, _ = _aligned_start(b_start[ib, s])
+            def _go_f(a=a, s=s):
+                pltpu.make_async_copy(
+                    fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
+                ).start()
+                pltpu.make_async_copy(
+                    rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
+                ).start()
 
-        def _start_b(a=a, s=s):
-            pltpu.make_async_copy(
-                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
-            ).start()
+            if dims.interpret:
+                _go_f()
+            else:
+                pl.when(ln > 0)(_go_f)
+        for s in range(nrb):
+            st, ln = get_b(s)
+            a, _ = _aligned_start(st)
 
-        if dims.interpret:  # predicated DMA deadlocks the interpreter
-            _start_b()
-        else:
-            pl.when(b_len[ib, s] > 0)(_start_b)
+            def _go_b(a=a, s=s):
+                pltpu.make_async_copy(
+                    bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
+                ).start()
+
+            if dims.interpret:
+                _go_b()
+            else:
+                pl.when(ln > 0)(_go_b)
+
+    cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
+    cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
+    nxt_f = lambda s: (next_val(f_start, f_start_n, s), next_val(f_len, f_len_n, s))
+    nxt_b = lambda s: (next_val(b_start, b_start_n, s), next_val(b_len, b_len_n, s))
+
+    if dims.interpret:
+        slot = 0
+        start_spans(cur_f, cur_b, 0)
+    else:
+        slot = i % 2
+        nxt = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            start_spans(cur_f, cur_b, slot)
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            start_spans(nxt_f, nxt_b, nxt)
 
     qx = q_ref[:, X].reshape(tq, 1)
     qy = q_ref[:, Y].reshape(tq, 1)
@@ -362,10 +427,10 @@ def _forces_kernel(
 
         def _wait_f(a=a, s=s):
             pltpu.make_async_copy(
-                fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
             ).wait()
             pltpu.make_async_copy(
-                rp_hbm.at[:, pl.ds(a, cap)], crp.at[s], sem_rp.at[s]
+                rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
             ).wait()
 
         if dims.interpret:
@@ -378,13 +443,13 @@ def _forces_kernel(
         def chunk(c, acc):
             sx, sy = acc
             off = pl.multiple_of(c * LANE, LANE)
-            cx = cf[s, X, pl.ds(off, LANE)].reshape(1, LANE)
-            cy = cf[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
-            cu = cf[s, U, pl.ds(off, LANE)].reshape(1, LANE)
-            cv = cf[s, V, pl.ds(off, LANE)].reshape(1, LANE)
-            cm = cf[s, M, pl.ds(off, LANE)].reshape(1, LANE)
-            c_rho = crp[s, 0, pl.ds(off, LANE)].reshape(1, LANE)
-            c_p = crp[s, 1, pl.ds(off, LANE)].reshape(1, LANE)
+            cx = cf[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cf[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cu = cf[slot, s, U, pl.ds(off, LANE)].reshape(1, LANE)
+            cv = cf[slot, s, V, pl.ds(off, LANE)].reshape(1, LANE)
+            cm = cf[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            c_rho = crp[slot, s, 0, pl.ds(off, LANE)].reshape(1, LANE)
+            c_p = crp[slot, s, 1, pl.ds(off, LANE)].reshape(1, LANE)
 
             dx = qx - cx
             dy = qy - cy
@@ -426,7 +491,7 @@ def _forces_kernel(
 
         def _wait_b(a=a, s=s):
             pltpu.make_async_copy(
-                bc_hbm.at[:, pl.ds(a, capb)], cb.at[s], sem_b.at[s]
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
             ).wait()
 
         if dims.interpret:
@@ -439,11 +504,11 @@ def _forces_kernel(
         def chunk_b(c, acc):
             sx, sy = acc
             off = pl.multiple_of(c * LANE, LANE)
-            cx = cb[s, X, pl.ds(off, LANE)].reshape(1, LANE)
-            cy = cb[s, Y, pl.ds(off, LANE)].reshape(1, LANE)
-            cu = cb[s, U, pl.ds(off, LANE)].reshape(1, LANE)
-            cv = cb[s, V, pl.ds(off, LANE)].reshape(1, LANE)
-            cpsi = cb[s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            cx = cb[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cb[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cu = cb[slot, s, U, pl.ds(off, LANE)].reshape(1, LANE)
+            cv = cb[slot, s, V, pl.ds(off, LANE)].reshape(1, LANE)
+            cpsi = cb[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
 
             dx = qx - cx
             dy = qy - cy
@@ -492,10 +557,13 @@ def forces_call(
     n_tiles = n_pad // dims.tq
     f_span_spec = pl.BlockSpec((8, dims.nr), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
     b_span_spec = pl.BlockSpec((8, dims.nrb), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    f_span_ahead = pl.BlockSpec((8, dims.nr), lambda i: (i // 8 + 1, 0), memory_space=pltpu.SMEM)
+    b_span_ahead = pl.BlockSpec((8, dims.nrb), lambda i: (i // 8 + 1, 0), memory_space=pltpu.SMEM)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
             f_span_spec, f_span_spec, b_span_spec, b_span_spec,
+            f_span_ahead, f_span_ahead, b_span_ahead, b_span_ahead,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((dims.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dims.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -505,21 +573,23 @@ def forces_call(
         ],
         out_specs=pl.BlockSpec((dims.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dims.nr, NFIELDS, dims.cap), jnp.float32),
-            pltpu.VMEM((dims.nr, 2, dims.cap), jnp.float32),
-            pltpu.VMEM((dims.nrb, NFIELDS, dims.capb), jnp.float32),
-            pltpu.SemaphoreType.DMA((dims.nr,)),
-            pltpu.SemaphoreType.DMA((dims.nr,)),
-            pltpu.SemaphoreType.DMA((dims.nrb,)),
+            pltpu.VMEM((2, dims.nr, NFIELDS, dims.cap), jnp.float32),
+            pltpu.VMEM((2, dims.nr, 2, dims.cap), jnp.float32),
+            pltpu.VMEM((2, dims.nrb, NFIELDS, dims.capb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, dims.nr)),
+            pltpu.SemaphoreType.DMA((2, dims.nr)),
+            pltpu.SemaphoreType.DMA((2, dims.nrb)),
         ],
     )
-    kernel = functools.partial(_forces_kernel, cfg=cfg, dims=dims)
-    return pl.pallas_call(
+    kernel = functools.partial(_forces_kernel, cfg=cfg, dims=dims, n_tiles=n_tiles)
+    call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=dims.interpret,
-    )(_pad8(f_spans.start), _pad8(f_spans.length),
-      _pad8(b_spans.start), _pad8(b_spans.length),
-      jnp.asarray(g, jnp.float32).reshape(1, 2),
-      q_packed, q_rhop, fc_packed, rp_packed, bc_packed)
+    )
+    fs, fl = _pad8(f_spans.start), _pad8(f_spans.length)
+    bs, bl = _pad8(b_spans.start), _pad8(b_spans.length)
+    return call(fs, fl, bs, bl, fs, fl, bs, bl,
+                jnp.asarray(g, jnp.float32).reshape(1, 2),
+                q_packed, q_rhop, fc_packed, rp_packed, bc_packed)

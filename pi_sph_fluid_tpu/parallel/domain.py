@@ -113,13 +113,23 @@ class DomainDecomposition:
         self.axis = axis
         self.n_devices = mesh.shape[axis]
         d = self.n_devices
-        per = -(-n_global // d)
-        self.slab_cap = slab_cap or _round_up(int(per * 1.5) + 64, 128)
-        # migration per step is tiny (v*dt << slab width); halo is a 2H strip
-        self.mig_cap = mig_cap or _round_up(max(per // 8, 64), 64)
-        strip_frac = (2 * cfg.h) / (cfg.width / d)
-        self.halo_cap = halo_cap or _round_up(int(per * min(4 * strip_frac, 1.0)) + 64, 64)
         self.slab_w = cfg.width / d
+        # Capacities are *physical area* bounds, not averages: a dam break
+        # starts with every particle in the leftmost slabs, and fluid
+        # settles into the bottom of whichever slab it ends up in.  A slab
+        # can hold at most its area / R^2 (rest spacing) x compression
+        # slack; same logic for the 2H halo strip.  Per-step migration is
+        # bounded by the max-displacement strip v_max*dt = H/10 (C/10 speed
+        # bound x H/C step, `pi_sph_fluid.c:16,19`), padded generously.
+        def area_cap(strip_w: float, slack: float = 1.35) -> int:
+            return int(strip_w * cfg.height / (cfg.r * cfg.r) * slack) + 1
+
+        self.slab_cap = slab_cap or _round_up(
+            min(area_cap(self.slab_w), n_global) + 64, 128)
+        self.halo_cap = halo_cap or _round_up(
+            min(area_cap(2 * cfg.h), n_global) + 64, 64)
+        self.mig_cap = mig_cap or _round_up(
+            min(area_cap(cfg.h), n_global) + 64, 64)
 
     # ------------------------------------------------------------------
     def init(self, fluid: FluidState) -> DomainState:

@@ -121,11 +121,44 @@ def test_drop_scene_matches_oracle():
 
 
 def test_span_overflow_reported_not_silent(scene):
+    """Capacity losses must be counted: shrink the span cap below the real
+    span lengths and assert the spans module reports the loss (the engine
+    sums exactly these counters into StepStats.neighbor_overflow)."""
+    import jax.numpy as jnp2
+    from pi_sph_fluid_tpu.ops.grid import cell_ids
+    from pi_sph_fluid_tpu.ops.pallas.spans import (
+        build_row_layout, layout_size, layout_spans,
+    )
+
     cfg, fluid, boundary, bgrid = scene
-    eng = PallasEngine(cfg, boundary, bgrid, fluid.n,
-                       PallasDims(tq=128, cap=128, capb=128, interpret=True))
-    sim = eng.prime(fluid, G)
-    step = eng.make_step()
-    sim, st = step(sim, jnp.asarray(G, jnp.float32))
-    # tq=128 tiles span ~20 cells -> ~140 candidates/span > cap=128
-    assert int(st.neighbor_overflow) > 0
+    tq = 64
+    rowcap, n_layout = layout_size(cfg, fluid.n, tq, 1.35)
+    keys = cell_ids(fluid.x, fluid.y, cfg)
+    order = jnp2.argsort(keys, stable=True)
+    counts = jnp2.zeros(cfg.n_cells + 2, jnp2.int32).at[keys + 1].add(1)
+    cell_starts = jnp2.cumsum(counts, dtype=jnp2.int32)
+    layout = build_row_layout(n_layout, cell_starts, cfg, rowcap)
+    cells = jnp2.where(layout.valid, keys[order][jnp2.minimum(layout.src, fluid.n - 1)],
+                       cfg.n_cells)
+    big = layout_spans(layout, cells, cell_starts, cell_starts, cfg,
+                       rowcap, tq, cap=4096, target_rowcap=rowcap)
+    assert int(big.overflow) == 0
+    max_need = int(jnp2.max(big.start % 128 + big.length))
+    small = layout_spans(layout, cells, cell_starts, cell_starts, cfg,
+                         rowcap, tq, cap=max_need - 1, target_rowcap=rowcap)
+    assert int(small.overflow) > 0
+
+
+def test_row_capacity_loss_reported(scene):
+    """Particles beyond a row's capacity are counted as lost, never silent."""
+    from pi_sph_fluid_tpu.ops.grid import cell_ids
+    from pi_sph_fluid_tpu.ops.pallas.spans import build_row_layout
+
+    cfg, fluid, boundary, bgrid = scene
+    keys = cell_ids(fluid.x, fluid.y, cfg)
+    counts = jnp.zeros(cfg.n_cells + 2, jnp.int32).at[keys + 1].add(1)
+    cell_starts = jnp.cumsum(counts, dtype=jnp.int32)
+    tiny_rowcap = 8
+    layout = build_row_layout(fluid.n, cell_starts, cfg, tiny_rowcap)
+    assert int(layout.lost) > 0
+    assert int(layout.lost) == fluid.n - int(jnp.sum(layout.valid))
