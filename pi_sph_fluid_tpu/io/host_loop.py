@@ -78,7 +78,18 @@ class SimRunner:
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
-        self._renderer = make_renderer(cfg, *render_shape) if render else None
+        # renderers are normalized to take the whole sim state: the Pallas
+        # renderer consumes the packed layout directly, the jnp one a
+        # FluidState view
+        if not render:
+            self._renderer = None
+        elif backend == "pallas":
+            from ..render.metaballs_pallas import PallasRenderer
+
+            self._renderer = PallasRenderer(self.engine, *render_shape).render
+        else:
+            jnp_render = make_renderer(cfg, *render_shape)
+            self._renderer = lambda sim: jnp_render(sim.fluid)
 
         if self._renderer is None:
             self._dispatch = jax.jit(multi)
@@ -88,7 +99,7 @@ class SimRunner:
             @jax.jit
             def dispatch(sim, g_trace):
                 sim, st = multi(sim, g_trace)
-                return sim, st, renderer(sim.fluid)
+                return sim, st, renderer(sim)
 
             self._dispatch = dispatch
 

@@ -169,12 +169,17 @@ class DomainDecomposition:
     def _exchange(self, mask_l, mask_r, arrays, cap):
         """Pack boundary-crossing/halo slots and ppermute both directions.
         Returns (received arrays from left neighbor, from right neighbor,
-        overflow)."""
+        overflow).
+
+        Direction bookkeeping: my LEFT-bound buffer must land on device
+        my-1, i.e. ride perm [(i, i-1)] — and what I *receive* through that
+        permutation is my RIGHT neighbor's left-bound buffer.
+        """
         left, _, ov_l = _take_first(mask_l, arrays, cap)
         right, _, ov_r = _take_first(mask_r, arrays, cap)
         # ppermute fills devices with no source with zeros -> m=0 -> inert
-        from_right = [jax.lax.ppermute(a, self.axis, self._perm(-1)) for a in right]
-        from_left = [jax.lax.ppermute(a, self.axis, self._perm(+1)) for a in left]
+        from_right = [jax.lax.ppermute(a, self.axis, self._perm(-1)) for a in left]
+        from_left = [jax.lax.ppermute(a, self.axis, self._perm(+1)) for a in right]
         return from_left, from_right, ov_l + ov_r
 
     def _halo_masks(self, fluid, valid, my):

@@ -63,10 +63,13 @@ def test_dam_break_scene():
 
 
 def test_dam_break_scales_with_spacing():
+    # the 2R wall standoff shrinks with r, so the filled area (and count)
+    # grows slightly faster than 1/r^2
     small = SPHConfig(r=0.075 / 4)
     fluid, _ = build_dam_break_scene(small)
     base, _ = build_dam_break_scene(CFG)
-    assert fluid.n == pytest.approx(base.n * 16, rel=0.05)
+    assert fluid.n == pytest.approx(base.n * 16, rel=0.15)
+    assert fluid.n >= base.n * 16
 
 
 def test_pixel_centers_match_reference_formula():
