@@ -52,6 +52,11 @@ def _make_sink(args):
         return AsyncSink(TerminalSink())
     if args.display.startswith("file:"):
         return AsyncSink(FileSink(args.display[5:]))
+    if args.display.startswith("ssd1306"):
+        from .io.ssd1306 import SSD1306Sink
+
+        bus = int(args.display.split(":")[1]) if ":" in args.display else 1
+        return AsyncSink(SSD1306Sink(bus=bus))
     raise SystemExit(f"unknown display {args.display!r}")
 
 
@@ -59,6 +64,11 @@ def cmd_run(args):
     from .io.host_loop import SimRunner
 
     cfg, fluid, braw = _make_scene(args)
+    if args.load_state:
+        from .state import load_state
+
+        fluid = load_state(args.load_state)["fluid"]
+        print(f"resumed {fluid.n} particles from {args.load_state}", file=sys.stderr)
     print(f"dt = {cfg.dt:.6f}    (expected ticks/s) {int(1 / cfg.dt)}")
     print(f"n_fluid = {fluid.n}")
     print(f"n_boundary = {braw.n}")
@@ -73,6 +83,17 @@ def cmd_run(args):
         )
     finally:
         sink.close()
+    if args.save_state:
+        from .state import save_state
+
+        sim = result.sim
+        if runner.engine is not None:  # pallas: persist the compact view
+            fl = runner.engine.unpad(sim)
+            save_state(args.save_state, fluid=fl)
+        else:
+            save_state(args.save_state, fluid=sim.fluid, ids=sim.ids,
+                       au=sim.au, av=sim.av)
+        print(f"state saved to {args.save_state}", file=sys.stderr)
     print(f"\n{result.steps} steps in {result.wall_s:.2f}s "
           f"({result.particle_steps_per_s / 1e6:.2f}M particle-steps/s)",
           file=sys.stderr)
@@ -129,6 +150,11 @@ def main(argv=None):
     rp.add_argument("--settle-seconds", type=float, default=0.0,
                     help="damped pre-roll to bleed off the startup transient "
                          "(recommended >= 0.3 for fine resolutions)")
+    rp.add_argument("--save-state", default=None, metavar="F.npz",
+                    help="checkpoint the final fluid state")
+    rp.add_argument("--load-state", default=None, metavar="F.npz",
+                    help="start from a checkpointed fluid state instead of "
+                         "the scene's initial layout")
     rp.set_defaults(fn=cmd_run)
 
     bp = sub.add_parser("bench", help="headless throughput benchmark")

@@ -1,0 +1,142 @@
+"""Host I/O shell tests: gravity sources, sinks, generic SPH operators,
+profiling helpers, CLI checkpoint round trip."""
+
+import io
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pi_sph_fluid_tpu.config import SPHConfig
+from pi_sph_fluid_tpu.io.display import AsyncSink, FileSink, NullSink, TerminalSink
+from pi_sph_fluid_tpu.io.gravity import ConstantGravity, RotatingGravity, TraceGravity
+from pi_sph_fluid_tpu.models.boundary import prepare_boundary
+from pi_sph_fluid_tpu.models.scene import build_drop_scene
+from pi_sph_fluid_tpu.render.metaballs import pack_framebuffer
+
+CFG = SPHConfig()
+
+
+def test_constant_gravity_trace():
+    g = ConstantGravity(CFG)
+    tr = g.trace(16, CFG.dt)
+    assert tr.shape == (16, 2)
+    np.testing.assert_allclose(tr, [[0.0, -9.81]] * 16)
+
+
+def test_trace_gravity_replays_samples():
+    """A recorded 10 Hz accelerometer session replays as per-step vectors
+    (BASELINE.json config 3): every step between polls sees the same vector,
+    like the reference's unsynchronized shared float2."""
+    samples = np.asarray([[0.0, -9.81], [1.0, -9.0], [2.0, -8.0]], np.float32)
+    g = TraceGravity(samples, sample_hz=10.0, loop=False)
+    # 0.25 s at dt: spans samples 0,1,2
+    n = int(0.25 / CFG.dt)
+    tr = g.trace(n, CFG.dt)
+    assert tr.shape == (n, 2)
+    # first step sees sample 0; step at t=0.11 sees sample 1; t=0.21 sample 2
+    np.testing.assert_allclose(tr[0], samples[0])
+    np.testing.assert_allclose(tr[int(0.11 / CFG.dt)], samples[1])
+    np.testing.assert_allclose(tr[int(0.21 / CFG.dt)], samples[2])
+    # trace continues where it left off
+    tr2 = g.trace(4, CFG.dt)
+    np.testing.assert_allclose(tr2[0], samples[2])  # past the end, clamped
+
+
+def test_rotating_gravity_magnitude():
+    g = RotatingGravity(CFG, period_s=1.0)
+    tr = g.trace(100, 0.01)
+    mags = np.hypot(tr[:, 0], tr[:, 1])
+    np.testing.assert_allclose(mags, CFG.g, rtol=1e-5)
+
+
+def test_terminal_sink_renders_halfblocks():
+    lit = np.zeros((64, 128), bool)
+    lit[:2, :4] = True
+    buf = np.asarray(pack_framebuffer(jnp.asarray(lit), 64, 128))
+    out = io.StringIO()
+    sink = TerminalSink(stream=out)
+    sink.push(buf)
+    text = out.getvalue()
+    assert "█" in text.splitlines()[0][:4]
+
+
+def test_async_sink_drops_rather_than_blocks():
+    class Slow:
+        def __init__(self):
+            self.got = 0
+
+        def push(self, fb):
+            time.sleep(0.05)
+            self.got += 1
+
+        def close(self):
+            pass
+
+    inner = Slow()
+    sink = AsyncSink(inner)
+    fb = np.zeros(1024, np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        sink.push(fb)  # must never block the producer
+    produced_fast = time.perf_counter() - t0 < 0.5
+    sink.close()
+    assert produced_fast
+    assert 0 < inner.got < 50  # some frames dropped by design
+
+
+def test_generic_sph_operators_volume_factor():
+    """sph_interpolate with volume leading factor: interpolating the constant
+    1 over a full neighborhood gives ~1 (partition of unity, approximately)."""
+    from pi_sph_fluid_tpu.ops.grid import build_grid
+    from pi_sph_fluid_tpu.ops.neighbors import gather_candidates
+    from pi_sph_fluid_tpu.ops.sph_operators import sph_gradient, sph_interpolate
+
+    fluid, braw = build_drop_scene(CFG)
+    boundary, bgrid = prepare_boundary(braw, CFG)
+    grid = build_grid(fluid.x, fluid.y, CFG)
+    fs = fluid.permute(grid.order)
+    cand = gather_candidates(fs.x, fs.y, grid, CFG)
+    ones = jnp.ones_like(fs.x)
+    # use the true SPH density as rho so volume sums are meaningful
+    from pi_sph_fluid_tpu.core.eos import tait_pressure
+    from pi_sph_fluid_tpu.ops.density import density_pass
+
+    cand_fb = gather_candidates(fs.x, fs.y, bgrid, CFG)
+    rho = density_pass(fs, boundary, cand_fb=cand_fb, cand_ff=cand, cfg=CFG)
+    interp = sph_interpolate(ones, fs.x, fs.y, fs.x, fs.y, fs.m, rho, cand, CFG,
+                             leading_factor="volume", exclude_self=True)
+    # interior particles: sum_j V_j W_ij ~ 1 - self-term share
+    interior = np.asarray(interp)
+    assert 0.5 < np.median(interior) < 1.05
+
+    gx, gy = sph_gradient(ones, fs.x, fs.y, fs.x, fs.y, fs.m, rho, cand, CFG,
+                          leading_factor="volume", exclude_self=True)
+    # gradient of a constant is ~0 in the interior (boundary-deficient at edges)
+    assert float(jnp.median(jnp.abs(gx))) < 5.0
+
+
+def test_profiling_throughput_helper():
+    from pi_sph_fluid_tpu.models.simulation import make_multi_step, prime
+    from pi_sph_fluid_tpu.utils.profiling import device_memory, throughput
+
+    fluid, braw = build_drop_scene(CFG)
+    boundary, bgrid = prepare_boundary(braw, CFG)
+    sim = prime(fluid, boundary, bgrid, (0.0, -9.81), CFG)
+    multi = jax.jit(make_multi_step(CFG, boundary, bgrid))
+    g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (5, 2))
+    ps, spt = throughput(multi, sim, g, fluid.n, repeats=2)
+    assert ps > 0 and spt > 0
+    device_memory()  # must not raise
+
+
+def test_cli_checkpoint_roundtrip(tmp_path):
+    from pi_sph_fluid_tpu.cli import main
+
+    ckpt = str(tmp_path / "state.npz")
+    main(["run", "--scene", "drop", "--seconds", "0.02", "--backend", "reference",
+          "--display", "none", "--save-state", ckpt])
+    main(["run", "--scene", "drop", "--seconds", "0.02", "--backend", "reference",
+          "--display", "none", "--load-state", ckpt])

@@ -85,8 +85,12 @@ def test_migration_across_slabs(setup):
     assert got.x.shape[0] == fluid.n
     ids = np.sort(np.asarray(state.ids)[np.asarray(state.ids) >= 0])
     np.testing.assert_array_equal(ids, np.arange(fluid.n))
-    # the fluid actually moved right across slab boundaries
-    assert float(jnp.mean(got.x)) > float(jnp.mean(fluid.x)) + 0.05
+    # the fluid moved right (60 steps x 3 m/s x dt ~ 0.019 m) and particles
+    # actually changed slab ownership
+    assert float(jnp.mean(got.x)) > float(jnp.mean(fluid.x)) + 0.015
+    slab0 = np.clip((np.asarray(fluid.x) / dd.slab_w).astype(int), 0, 3)
+    slab1 = np.clip((np.asarray(got.x) / dd.slab_w).astype(int), 0, 3)
+    assert (slab0 != slab1).sum() > 0
 
 
 def test_init_distributes_by_slab(setup):
