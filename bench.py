@@ -36,7 +36,10 @@ def bench_pallas(target_n: int, steps: int) -> dict:
     boundary, bgrid = sph.prepare_boundary(braw, cfg)
     eng = PallasEngine(cfg, boundary, bgrid, fluid.n, PallasDims())
     sim = eng.prime(fluid, (0.0, -9.81))
-    multi = jax.jit(eng.make_multi_step())
+    # sticky layout: re-sort every 4th step (pairs can only be missed in the
+    # outer 0.2*(k-1)*H shell of the support even at the C/10 speed bound —
+    # see engine_pallas.make_multi_step)
+    multi = jax.jit(eng.make_multi_step(resort_every=4))
     g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps, 2))
     sim, st = multi(sim, g)  # compile + warm
     jax.block_until_ready(sim.packed)

@@ -32,7 +32,9 @@ def _make_scene(args):
 
 
 def _make_gravity(args, cfg):
-    from .io.gravity import ConstantGravity, MPU6050Gravity, RotatingGravity
+    from .io.gravity import (
+        ConstantGravity, MPU6050Gravity, RotatingGravity, TraceGravity,
+    )
 
     if args.gravity == "constant":
         return ConstantGravity(cfg)
@@ -40,6 +42,12 @@ def _make_gravity(args, cfg):
         return RotatingGravity(cfg, period_s=args.rotate_period)
     if args.gravity == "mpu6050":
         return MPU6050Gravity(cfg)
+    if args.gravity.startswith("trace:"):
+        import numpy as np
+
+        data = np.load(args.gravity[6:])
+        samples = data["samples"] if hasattr(data, "files") else data
+        return TraceGravity(samples, sample_hz=float(getattr(args, "trace_hz", 10.0)))
     raise SystemExit(f"unknown gravity source {args.gravity!r}")
 
 
@@ -73,7 +81,8 @@ def cmd_run(args):
     print(f"n_fluid = {fluid.n}")
     print(f"n_boundary = {braw.n}")
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
-                       render=args.display != "none")
+                       render=args.display != "none",
+                       resort_every=args.resort_every)
     gravity = _make_gravity(args, cfg)
     sink = _make_sink(args)
     try:
@@ -109,7 +118,7 @@ def cmd_bench(args):
     cfg = SPHConfig(r=r)
     fluid, braw = build_pool_scene(cfg)
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
-                       render=args.render)
+                       render=args.render, resort_every=args.resort_every)
     gravity = ConstantGravity(cfg)
     # warmup dispatch compiles everything; must use the same scan length as
     # the measured run or the measured run recompiles
@@ -143,13 +152,20 @@ def main(argv=None):
     rp.add_argument("--display", default="terminal",
                     help="terminal | none | file:<path>")
     rp.add_argument("--gravity", default="constant",
-                    choices=["constant", "rotate", "mpu6050"])
+                    help="constant | rotate | mpu6050 | trace:<file.np[z]> "
+                         "(a recorded (T,2) accelerometer session)")
+    rp.add_argument("--trace-hz", type=float, default=10.0,
+                    help="sample rate of a replayed gravity trace")
     rp.add_argument("--rotate-period", type=float, default=4.0)
     rp.add_argument("--realtime", action="store_true",
                     help="pace to wall-clock like the reference REALTIME mode")
     rp.add_argument("--settle-seconds", type=float, default=0.0,
                     help="damped pre-roll to bleed off the startup transient "
                          "(recommended >= 0.3 for fine resolutions)")
+    rp.add_argument("--resort-every", type=int, default=1,
+                    help="sticky-layout interval: re-sort the grid every k "
+                         "steps (k<=4 is fringe-exact even at the C/10 "
+                         "speed bound; big speedup at scale)")
     rp.add_argument("--save-state", default=None, metavar="F.npz",
                     help="checkpoint the final fluid state")
     rp.add_argument("--load-state", default=None, metavar="F.npz",
@@ -163,6 +179,7 @@ def main(argv=None):
     bp.add_argument("--steps-warmup", type=int, default=20)
     bp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
     bp.add_argument("--render", action="store_true", help="include rendering in the loop")
+    bp.add_argument("--resort-every", type=int, default=4)
     bp.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

@@ -15,8 +15,6 @@ import threading
 
 import numpy as np
 
-from ..render.metaballs import unpack_framebuffer
-
 __all__ = ["NullSink", "TerminalSink", "FileSink", "AsyncSink"]
 
 

@@ -58,7 +58,10 @@ class SimRunner:
         dims: PallasDims | None = None,
         render: bool = True,
         render_shape: tuple[int, int] = (64, 128),
+        resort_every: int = 1,
     ):
+        if resort_every < 1:
+            raise ValueError(f"resort_every must be >= 1, got {resort_every}")
         self.cfg = cfg
         self.n_fluid = fluid.n
         self.backend = backend
@@ -68,7 +71,7 @@ class SimRunner:
         if backend == "pallas":
             self.engine = PallasEngine(cfg, boundary, bgrid, fluid.n, dims)
             self._prime = lambda g: self.engine.prime(fluid, g)
-            multi = self.engine.make_multi_step()
+            multi = self.engine.make_multi_step(resort_every=resort_every)
             self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
         elif backend == "reference":
             self.engine = None
@@ -77,6 +80,7 @@ class SimRunner:
             self._settle_multi = jax.jit(make_multi_step(cfg, boundary, bgrid, damping=0.995))
         else:
             raise ValueError(f"unknown backend {backend!r}")
+        self._resort_every = resort_every if backend == "pallas" else 1
 
         # renderers are normalized to take the whole sim state: the Pallas
         # renderer consumes the packed layout directly, the jnp one a
@@ -119,6 +123,7 @@ class SimRunner:
         # default batch: one 60 Hz display frame worth of steps
         # (`pi_sph_fluid.c:648`), like the reference's draw cadence
         k = steps_per_dispatch or max(1, int(round(1.0 / (60.0 * dt))))
+        k = -(-k // self._resort_every) * self._resort_every
         n_dispatch = max(1, int(round(sim_seconds / (k * dt))))
 
         sim = self._prime(gravity_source.current())

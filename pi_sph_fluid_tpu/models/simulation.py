@@ -19,7 +19,6 @@ accelerations.  Differences by design (SURVEY.md §7):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

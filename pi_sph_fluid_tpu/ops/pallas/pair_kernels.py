@@ -9,10 +9,10 @@ TPU equivalent of the reference's OpenMP pair loops (`pi_sph_fluid.c:263-373`)
   ``(tq, 1)`` field slices) and ``(8, n_pad + cap)`` for candidates (fields
   on sublanes -> one strided DMA fetches a whole span of all fields as
   ``(8, cap)``, and ``(1, chunk)`` field rows broadcast against queries);
-* each grid instance owns TQ consecutive sorted queries; its candidates are
-  up to ``nr`` contiguous spans (ops/pallas/spans.py) DMA'd HBM -> VMEM,
-  DMA starts 128-lane aligned (Mosaic tiling) with the leading ``extra``
-  lanes masked;
+* each grid instance owns TQ consecutive layout slots; its candidates are
+  exactly 3 contiguous spans (ops/pallas/spans.py) DMA'd HBM -> VMEM with
+  cross-tile double buffering (every tile prefetches the next tile's spans),
+  DMA starts 128-lane aligned (Mosaic tiling) with leading lanes masked;
 * pair math runs on ``(tq, 128)`` VPU chunks inside a fori_loop bounded by
   the *actual* span length, so empty spans (most boundary spans, unused
   span slots) cost nothing and short spans cost proportionally — the work
@@ -118,9 +118,9 @@ def _pair_w(dx, dy, cfg: SPHConfig):
 
 
 def _density_kernel(
-    # per-tile span scalars: (8, nr) SMEM blocks. The *_n refs are the same
-    # arrays mapped one block ahead, so the prefetch of tile i+1's spans can
-    # cross the 8-row block boundary (row ib+1, or row 0 of the next block).
+    # per-tile span scalars as (8, nr) SMEM blocks; the *_n refs are the
+    # same arrays mapped one block ahead so the prefetch of tile i+1's spans
+    # can cross the 8-row block boundary (row ib+1, or row 0 of next block)
     f_start, f_len, b_start, b_len,
     f_start_n, f_len_n, b_start_n, b_len_n,
     # inputs

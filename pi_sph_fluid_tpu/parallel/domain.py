@@ -26,7 +26,7 @@ fusing the Pallas kernels into the sharded path is a planned next step.
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple
 
 import jax
