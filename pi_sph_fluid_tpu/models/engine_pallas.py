@@ -37,7 +37,7 @@ from ..ops.pallas.pair_kernels import (
     forces_call,
     pack_candidates,
 )
-from ..ops.pallas.spans import build_row_layout, layout_size, layout_spans
+from ..ops.pallas.spans import (build_row_layout, layout_qb_windows, layout_size, layout_spans)
 from .simulation import StepStats
 
 __all__ = ["PallasEngine", "PallasDims", "PackedSim"]
@@ -112,7 +112,8 @@ class PallasEngine:
 
     # ------------------------------------------------------------------
     def _build_spans(self, packed, ids):
-        """Relayout + span build; returns the new arrays and carried spans."""
+        """Relayout + span build; returns the new arrays and carried spans
+        (f_spans, b_spans, per-query-block windows)."""
         cfg, dims = self.cfg, self.dims
         packed, ids, layout, cells, cell_starts = self._relayout(packed, ids)
         f_spans = layout_spans(layout, cells, cell_starts, cell_starts, cfg,
@@ -120,26 +121,32 @@ class PallasEngine:
                                target_rowcap=self.rowcap)
         b_spans = layout_spans(layout, cells, cell_starts, self.b_cell_starts,
                                cfg, self.rowcap, dims.tq, dims.capb)
+        windows = None
+        if dims.qb:
+            windows = layout_qb_windows(layout, cells, cell_starts, cell_starts,
+                                        cfg, self.rowcap, dims.tq, dims.qb,
+                                        target_rowcap=self.rowcap)
         # row-capacity loss destroys particles — weight it so it can never be
         # misread as a benign neighbor drop
         overflow = f_spans.overflow + b_spans.overflow + 1_000_000 * layout.lost
-        return packed, ids, f_spans, b_spans, overflow
+        return packed, ids, (f_spans, b_spans, windows), overflow
 
-    def _pair_passes(self, packed, f_spans, b_spans, g):
+    def _pair_passes(self, packed, spans, g):
         """Density+EOS and force kernels over given (possibly carried) spans."""
         cfg, dims = self.cfg, self.dims
+        f_spans, b_spans, windows = spans
         fc_packed = jnp.pad(packed.T, ((0, 0), (0, dims.cap)))
         rhop = density_eos_call(packed, fc_packed, self.bc_packed,
-                                f_spans, b_spans, cfg, dims)
+                                f_spans, b_spans, cfg, dims, windows=windows)
         rp_packed = jnp.pad(rhop.T, ((0, 0), (0, dims.cap)))
         acc = forces_call(packed, rhop, fc_packed, rp_packed, self.bc_packed,
-                          f_spans, b_spans, g, cfg, dims)
+                          f_spans, b_spans, g, cfg, dims, windows=windows)
         packed = jnp.concatenate([packed[:, :5], rhop, packed[:, 7:8]], axis=1)
         return packed, acc[:, 0], acc[:, 1]
 
     def _force_pass(self, packed, ids, g):
-        packed, ids, f_spans, b_spans, overflow = self._build_spans(packed, ids)
-        packed, au, av = self._pair_passes(packed, f_spans, b_spans, g)
+        packed, ids, spans, overflow = self._build_spans(packed, ids)
+        packed, au, av = self._pair_passes(packed, spans, g)
         return packed, ids, au, av, overflow
 
     # ------------------------------------------------------------------
@@ -250,14 +257,14 @@ class PallasEngine:
         def group(sim: PackedSim, g_group):
             # tick 0: fresh layout + spans
             pk = kick_drift(sim)
-            pk, ids, f_spans, b_spans, overflow = self._build_spans(pk, sim.ids)
-            pk, au, av = self._pair_passes(pk, f_spans, b_spans, g_group[0])
+            pk, ids, spans, overflow = self._build_spans(pk, sim.ids)
+            pk, au, av = self._pair_passes(pk, spans, g_group[0])
             sim, st0 = finish(pk, ids, au, av, overflow)
             stats_list = [st0]
             # ticks 1..k-1: carried spans, live positions
             for j in range(1, resort_every):
                 pk = kick_drift(sim)
-                pk, au, av = self._pair_passes(pk, f_spans, b_spans, g_group[j])
+                pk, au, av = self._pair_passes(pk, spans, g_group[j])
                 sim, stj = finish(pk, sim.ids, au, av, jnp.asarray(0, jnp.int32))
                 stats_list.append(stj)
             stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stats_list)

@@ -54,6 +54,9 @@ class PallasDims(NamedTuple):
     nrb: int = 3         # boundary span slots
     capb: int = 256      # boundary candidates per span (incl. alignment lanes)
     row_slack: float = 1.35  # per-cell compression slack for rowcap (see spans.py)
+    qb: int = 0          # query-block window size; 0 = whole-span (fastest measured:
+                         # Mosaic's per-block scalar/slice overhead outweighs the ~2x
+                         # lane reduction at qb=8..64 on v5e — kept as a tuning avenue)
     interpret: bool = False
 
 
@@ -273,6 +276,418 @@ def _density_kernel(
     out_ref[:, 1:2] = p
 
 
+# ---------------------------------------------------------------------------
+# query-block windowed kernels (PallasDims.qb > 0): each block of qb queries
+# computes only its own [qc0-1, qc1+1] column window of each span — ~2x fewer
+# pair lanes at tq=128, but measured SLOWER on v5e (35 vs 10 ms/step at 100k)
+# because the per-block dynamic slices, SMEM scalar reads and loop control
+# cost more than the saved lanes.  Correctness-validated (interpret mode
+# matches the oracle); kept as a tuning avenue for hardware where the
+# tradeoff differs.
+# ---------------------------------------------------------------------------
+
+
+def _density_kernel_qb(
+    f_start, f_len, b_start, b_len,
+    f_start_n, f_len_n, b_start_n, b_len_n,
+    w_lo, w_hi,       # (8, 3*nqb) SMEM: per-qb fluid windows (abs layout coords)
+    q_ref, fc_hbm, bc_hbm,
+    out_ref,
+    cf, cb, sem_f, sem_b,
+    *, cfg: SPHConfig, dims: PallasDims, n_tiles: int,
+):
+    i = pl.program_id(0)
+    ib = i % 8
+    tq, nr, cap, nrb, capb = dims.tq, dims.nr, dims.cap, dims.nrb, dims.capb
+    qb = dims.qb
+    nqb = tq // qb
+    support = jnp.float32(cfg.support_radius)
+
+    def next_val(cur, ahead, s):
+        return jnp.where(ib == 7, ahead[0, s], cur[jnp.minimum(ib + 1, 7), s])
+
+    def start_spans(get_f, get_b, slot):
+        for s in range(nr):
+            st, ln = get_f(s)
+            a, _ = _aligned_start(st)
+
+            def _go_f(a=a, s=s):
+                pltpu.make_async_copy(
+                    fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
+                ).start()
+
+            if dims.interpret:
+                _go_f()
+            else:
+                pl.when(ln > 0)(_go_f)
+        for s in range(nrb):
+            st, ln = get_b(s)
+            a, _ = _aligned_start(st)
+
+            def _go_b(a=a, s=s):
+                pltpu.make_async_copy(
+                    bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
+                ).start()
+
+            if dims.interpret:
+                _go_b()
+            else:
+                pl.when(ln > 0)(_go_b)
+
+    cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
+    cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
+    nxt_f = lambda s: (next_val(f_start, f_start_n, s), next_val(f_len, f_len_n, s))
+    nxt_b = lambda s: (next_val(b_start, b_start_n, s), next_val(b_len, b_len_n, s))
+
+    if dims.interpret:
+        slot = 0
+        start_spans(cur_f, cur_b, 0)
+    else:
+        slot = i % 2
+        nxt = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            start_spans(cur_f, cur_b, slot)
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            start_spans(nxt_f, nxt_b, nxt)
+
+    # wait all fluid + boundary spans upfront (prefetched last iteration)
+    for s in range(nr):
+        a, _ = _aligned_start(f_start[ib, s])
+
+        def _wait_f(a=a, s=s):
+            pltpu.make_async_copy(
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_f()
+        else:
+            pl.when(f_len[ib, s] > 0)(_wait_f)
+    for s in range(nrb):
+        a, _ = _aligned_start(b_start[ib, s])
+
+        def _wait_b(a=a, s=s):
+            pltpu.make_async_copy(
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_b()
+        else:
+            pl.when(b_len[ib, s] > 0)(_wait_b)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    norm = jnp.float32(cfg.kernel_norm)
+
+    # boundary contribution for the whole tile (boundary spans are almost
+    # always empty; whole-span chunking is already proportional)
+    qx_t = q_ref[:, X].reshape(tq, 1)
+    qy_t = q_ref[:, Y].reshape(tq, 1)
+    rho_b = jnp.zeros((tq, 1), jnp.float32)
+    for s in range(nrb):
+        a, extra = _aligned_start(b_start[ib, s])
+        length = b_len[ib, s]
+        total = jnp.minimum(extra + length, capb)
+        n_chunks = (total + LANE - 1) // LANE
+
+        def chunk_b(c, acc):
+            off = pl.multiple_of(c * LANE, LANE)
+            cx = cb[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cb[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cm = cb[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            dx = qx_t - cx
+            dy = qy_t - cy
+            r, w, _ = _pair_w(dx, dy, cfg)
+            lane_idx = off + lane
+            mask = (lane_idx >= extra) & (lane_idx < total) & (r < support)
+            return acc + jnp.sum(jnp.where(mask, cm * w, 0.0), axis=1, keepdims=True)
+
+        rho_b = jax.lax.fori_loop(0, n_chunks, chunk_b, rho_b)
+
+    # stage the boundary sums through out_ref: Mosaic cannot lower
+    # dynamic_slice on values, but refs slice dynamically just fine
+    out_ref[:, 0:1] = rho_b
+
+    # fluid contribution per query block, windowed
+    def qb_body(k, _):
+        qoff = pl.multiple_of(k * qb, qb)
+        qx = q_ref[pl.ds(qoff, qb), X].reshape(qb, 1)
+        qy = q_ref[pl.ds(qoff, qb), Y].reshape(qb, 1)
+        qm = q_ref[pl.ds(qoff, qb), M].reshape(qb, 1)
+        q_global = i * tq + qoff + jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
+        rho = qm * norm  # self term
+
+        for s in range(nr):
+            a, _ = _aligned_start(f_start[ib, s])
+            rel_lo = jnp.maximum(w_lo[ib, s * nqb + k] - a, 0)
+            rel_hi = jnp.minimum(w_hi[ib, s * nqb + k] - a, cap)
+            cstart = pl.multiple_of((rel_lo // LANE) * LANE, LANE)
+            n_ch = jnp.maximum((rel_hi - cstart + LANE - 1) // LANE, 0)
+
+            def chunk(c, acc, s=s, a=a, rel_lo=rel_lo, rel_hi=rel_hi, cstart=cstart,
+                      qx=qx, qy=qy, q_global=q_global):
+                off = pl.multiple_of(cstart + c * LANE, LANE)
+                cx = cf[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+                cy = cf[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+                cm = cf[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
+                dx = qx - cx
+                dy = qy - cy
+                r, w, _ = _pair_w(dx, dy, cfg)
+                lane_idx = off + lane
+                mask = (
+                    (lane_idx >= rel_lo) & (lane_idx < rel_hi)
+                    & (r < support) & (a + lane_idx != q_global)
+                )
+                return acc + jnp.sum(jnp.where(mask, cm * w, 0.0), axis=1, keepdims=True)
+
+            rho = jax.lax.fori_loop(0, n_ch, chunk, rho)
+
+        rho = rho + out_ref[pl.ds(qoff, qb), 0].reshape(qb, 1)
+        ratio = rho / jnp.float32(cfg.rho_0)
+        r2 = ratio * ratio
+        r4 = r2 * r2
+        pres = jnp.maximum(jnp.float32(cfg.tait_b) * (r4 * r2 * ratio - 1.0), 0.0)
+        out_ref[pl.ds(qoff, qb), 0:1] = rho
+        out_ref[pl.ds(qoff, qb), 1:2] = pres
+        return 0
+
+    jax.lax.fori_loop(0, nqb, qb_body, 0)
+
+
+def _forces_kernel_qb(
+    f_start, f_len, b_start, b_len,
+    f_start_n, f_len_n, b_start_n, b_len_n,
+    w_lo, w_hi, g_ref,
+    q_ref, qrp_ref, fc_hbm, rp_hbm, bc_hbm,
+    out_ref,
+    cf, crp, cb, sem_f, sem_rp, sem_b,
+    *, cfg: SPHConfig, dims: PallasDims, n_tiles: int,
+):
+    gx = g_ref[0, 0]
+    gy = g_ref[0, 1]
+    i = pl.program_id(0)
+    ib = i % 8
+    tq, nr, cap, nrb, capb = dims.tq, dims.nr, dims.cap, dims.nrb, dims.capb
+    qb = dims.qb
+    nqb = tq // qb
+    support = jnp.float32(cfg.support_radius)
+
+    def next_val(cur, ahead, s):
+        return jnp.where(ib == 7, ahead[0, s], cur[jnp.minimum(ib + 1, 7), s])
+
+    def start_spans(get_f, get_b, slot):
+        for s in range(nr):
+            st, ln = get_f(s)
+            a, _ = _aligned_start(st)
+
+            def _go_f(a=a, s=s):
+                pltpu.make_async_copy(
+                    fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
+                ).start()
+                pltpu.make_async_copy(
+                    rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
+                ).start()
+
+            if dims.interpret:
+                _go_f()
+            else:
+                pl.when(ln > 0)(_go_f)
+        for s in range(nrb):
+            st, ln = get_b(s)
+            a, _ = _aligned_start(st)
+
+            def _go_b(a=a, s=s):
+                pltpu.make_async_copy(
+                    bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
+                ).start()
+
+            if dims.interpret:
+                _go_b()
+            else:
+                pl.when(ln > 0)(_go_b)
+
+    cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
+    cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
+    nxt_f = lambda s: (next_val(f_start, f_start_n, s), next_val(f_len, f_len_n, s))
+    nxt_b = lambda s: (next_val(b_start, b_start_n, s), next_val(b_len, b_len_n, s))
+
+    if dims.interpret:
+        slot = 0
+        start_spans(cur_f, cur_b, 0)
+    else:
+        slot = i % 2
+        nxt = (i + 1) % 2
+
+        @pl.when(i == 0)
+        def _():
+            start_spans(cur_f, cur_b, slot)
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            start_spans(nxt_f, nxt_b, nxt)
+
+    for s in range(nr):
+        a, _ = _aligned_start(f_start[ib, s])
+
+        def _wait_f(a=a, s=s):
+            pltpu.make_async_copy(
+                fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
+            ).wait()
+            pltpu.make_async_copy(
+                rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_f()
+        else:
+            pl.when(f_len[ib, s] > 0)(_wait_f)
+    for s in range(nrb):
+        a, _ = _aligned_start(b_start[ib, s])
+
+        def _wait_b(a=a, s=s):
+            pltpu.make_async_copy(
+                bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
+            ).wait()
+
+        if dims.interpret:
+            _wait_b()
+        else:
+            pl.when(b_len[ib, s] > 0)(_wait_b)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    h = jnp.float32(cfg.h)
+    c_sound = jnp.float32(cfg.c)
+    alpha = jnp.float32(cfg.alpha_visc)
+    eps_h2 = jnp.float32(cfg.eps_visc) * h * h
+    inv_w_ref = jnp.float32(1.0) / jnp.float32(artificial_pressure_ref_w(cfg))
+    k_ap = jnp.float32(cfg.k_artificial_pressure)
+
+    # boundary sums for the whole tile
+    qx_t = q_ref[:, X].reshape(tq, 1)
+    qy_t = q_ref[:, Y].reshape(tq, 1)
+    qu_t = q_ref[:, U].reshape(tq, 1)
+    qv_t = q_ref[:, V].reshape(tq, 1)
+    q_rho_t = qrp_ref[:, 0].reshape(tq, 1)
+    q_p_t = qrp_ref[:, 1].reshape(tq, 1)
+    q_press_t = jnp.where(q_rho_t > 0.0, q_p_t / (q_rho_t * q_rho_t), 0.0)
+    sum_bx = jnp.zeros((tq, 1), jnp.float32)
+    sum_by = jnp.zeros((tq, 1), jnp.float32)
+    for s in range(nrb):
+        a, extra = _aligned_start(b_start[ib, s])
+        length = b_len[ib, s]
+        total = jnp.minimum(extra + length, capb)
+        n_chunks = (total + LANE - 1) // LANE
+
+        def chunk_b(c, acc, s=s, a=a, extra=extra, total=total):
+            sx, sy = acc
+            off = pl.multiple_of(c * LANE, LANE)
+            cx = cb[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+            cy = cb[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+            cu = cb[slot, s, U, pl.ds(off, LANE)].reshape(1, LANE)
+            cv = cb[slot, s, V, pl.ds(off, LANE)].reshape(1, LANE)
+            cpsi = cb[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
+            dx = qx_t - cx
+            dy = qy_t - cy
+            du = qu_t - cu
+            dv = qv_t - cv
+            r, w, gcoef = _pair_w(dx, dy, cfg)
+            ap_ratio = w * inv_w_ref
+            ap2 = ap_ratio * ap_ratio
+            artif = k_ap * (ap2 * ap2)
+            xy_uv = dx * du + dy * dv
+            xy_xy = dx * dx + dy * dy
+            mu = h * xy_uv / (xy_xy + eps_h2)
+            visc = jnp.where((xy_uv < 0.0) & (q_rho_t > 0.0),
+                             -alpha * c_sound * mu / q_rho_t, 0.0)
+            term = q_press_t + artif + visc
+            lane_idx = off + lane
+            mask = (lane_idx >= extra) & (lane_idx < total) & (r < support)
+            coef = jnp.where(mask, cpsi * term, 0.0)
+            return (sx + jnp.sum(coef * (gcoef * dx), axis=1, keepdims=True),
+                    sy + jnp.sum(coef * (gcoef * dy), axis=1, keepdims=True))
+
+        sum_bx, sum_by = jax.lax.fori_loop(0, n_chunks, chunk_b, (sum_bx, sum_by))
+
+    # stage the boundary sums through out_ref (no dynamic_slice on values
+    # in Mosaic); each qb overwrites its rows after reading them back
+    out_ref[:, 0:1] = sum_bx
+    out_ref[:, 1:2] = sum_by
+
+    # fluid sums per query block, windowed
+    def qb_body(k, _):
+        qoff = pl.multiple_of(k * qb, qb)
+        qx = q_ref[pl.ds(qoff, qb), X].reshape(qb, 1)
+        qy = q_ref[pl.ds(qoff, qb), Y].reshape(qb, 1)
+        qu = q_ref[pl.ds(qoff, qb), U].reshape(qb, 1)
+        qv = q_ref[pl.ds(qoff, qb), V].reshape(qb, 1)
+        qm = q_ref[pl.ds(qoff, qb), M].reshape(qb, 1)
+        q_rho = qrp_ref[pl.ds(qoff, qb), 0].reshape(qb, 1)
+        q_p = qrp_ref[pl.ds(qoff, qb), 1].reshape(qb, 1)
+        q_press = jnp.where(q_rho > 0.0, q_p / (q_rho * q_rho), 0.0)
+        q_global = i * tq + qoff + jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
+
+        sum_x = jnp.zeros((qb, 1), jnp.float32)
+        sum_y = jnp.zeros((qb, 1), jnp.float32)
+        for s in range(nr):
+            a, _ = _aligned_start(f_start[ib, s])
+            rel_lo = jnp.maximum(w_lo[ib, s * nqb + k] - a, 0)
+            rel_hi = jnp.minimum(w_hi[ib, s * nqb + k] - a, cap)
+            cstart = pl.multiple_of((rel_lo // LANE) * LANE, LANE)
+            n_ch = jnp.maximum((rel_hi - cstart + LANE - 1) // LANE, 0)
+
+            def chunk(c, acc, s=s, a=a, rel_lo=rel_lo, rel_hi=rel_hi, cstart=cstart,
+                      qx=qx, qy=qy, qu=qu, qv=qv, q_rho=q_rho, q_press=q_press,
+                      q_global=q_global):
+                sx, sy = acc
+                off = pl.multiple_of(cstart + c * LANE, LANE)
+                cx = cf[slot, s, X, pl.ds(off, LANE)].reshape(1, LANE)
+                cy = cf[slot, s, Y, pl.ds(off, LANE)].reshape(1, LANE)
+                cu = cf[slot, s, U, pl.ds(off, LANE)].reshape(1, LANE)
+                cv = cf[slot, s, V, pl.ds(off, LANE)].reshape(1, LANE)
+                cm = cf[slot, s, M, pl.ds(off, LANE)].reshape(1, LANE)
+                c_rho = crp[slot, s, 0, pl.ds(off, LANE)].reshape(1, LANE)
+                c_p = crp[slot, s, 1, pl.ds(off, LANE)].reshape(1, LANE)
+                dx = qx - cx
+                dy = qy - cy
+                du = qu - cu
+                dv = qv - cv
+                r, w, gcoef = _pair_w(dx, dy, cfg)
+                pressure = q_press + jnp.where(c_rho > 0.0, c_p / (c_rho * c_rho), 0.0)
+                ap_ratio = w * inv_w_ref
+                ap2 = ap_ratio * ap_ratio
+                artif = k_ap * (ap2 * ap2)
+                xy_uv = dx * du + dy * dv
+                xy_xy = dx * dx + dy * dy
+                mu = h * xy_uv / (xy_xy + eps_h2)
+                mean_rho = (q_rho + c_rho) * 0.5
+                visc = jnp.where((xy_uv < 0.0) & (mean_rho > 0.0),
+                                 -alpha * c_sound * mu / mean_rho, 0.0)
+                term = pressure + artif + visc
+                lane_idx = off + lane
+                mask = (
+                    (lane_idx >= rel_lo) & (lane_idx < rel_hi)
+                    & (r < support) & (a + lane_idx != q_global)
+                )
+                coef = jnp.where(mask, cm * term, 0.0)
+                return (sx + jnp.sum(coef * (gcoef * dx), axis=1, keepdims=True),
+                        sy + jnp.sum(coef * (gcoef * dy), axis=1, keepdims=True))
+
+            sum_x, sum_y = jax.lax.fori_loop(0, n_ch, chunk, (sum_x, sum_y))
+
+        sum_x = sum_x + out_ref[pl.ds(qoff, qb), 0].reshape(qb, 1)
+        sum_y = sum_y + out_ref[pl.ds(qoff, qb), 1].reshape(qb, 1)
+        q_valid = qm > 0.0
+        out_ref[pl.ds(qoff, qb), 0:1] = jnp.where(q_valid, gx - sum_x, 0.0)
+        out_ref[pl.ds(qoff, qb), 1:2] = jnp.where(q_valid, gy - sum_y, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, nqb, qb_body, 0)
+
+
 def density_eos_call(
     q_packed,        # (n_pad, 8)
     fc_packed,       # (8, n_pad + cap)
@@ -280,6 +695,7 @@ def density_eos_call(
     f_spans, b_spans,  # TileSpans
     cfg: SPHConfig,
     dims: PallasDims,
+    windows=None,    # (w_lo, w_hi) per-qb fluid windows; enables the qb path
 ):
     n_pad = q_packed.shape[0]
     n_tiles = n_pad // dims.tq
@@ -316,7 +732,27 @@ def density_eos_call(
     )
     fs, fl = _pad8(f_spans.start), _pad8(f_spans.length)
     bs, bl = _pad8(b_spans.start), _pad8(b_spans.length)
-    return call(fs, fl, bs, bl, fs, fl, bs, bl, q_packed, fc_packed, bc_packed)
+    if windows is None:
+        return call(fs, fl, bs, bl, fs, fl, bs, bl, q_packed, fc_packed, bc_packed)
+    nqb3 = 3 * (dims.tq // dims.qb)
+    win_spec = pl.BlockSpec((8, nqb3), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    grid_spec_qb = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=list(grid_spec.in_specs[:8]) + [win_spec, win_spec]
+        + list(grid_spec.in_specs[8:]),
+        out_specs=grid_spec.out_specs,
+        scratch_shapes=grid_spec.scratch_shapes,
+    )
+    kernel_qb = functools.partial(_density_kernel_qb, cfg=cfg, dims=dims, n_tiles=n_tiles)
+    call_qb = pl.pallas_call(
+        kernel_qb,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        grid_spec=grid_spec_qb,
+        interpret=dims.interpret,
+    )
+    return call_qb(fs, fl, bs, bl, fs, fl, bs, bl,
+                   _pad8(windows[0]), _pad8(windows[1]),
+                   q_packed, fc_packed, bc_packed)
 
 
 # ---------------------------------------------------------------------------
@@ -552,6 +988,7 @@ def forces_call(
     g,               # (2,) gravity — traced, rides the scalar-prefetch path
     cfg: SPHConfig,
     dims: PallasDims,
+    windows=None,    # (w_lo, w_hi) per-qb fluid windows; enables the qb path
 ):
     n_pad = q_packed.shape[0]
     n_tiles = n_pad // dims.tq
@@ -590,6 +1027,26 @@ def forces_call(
     )
     fs, fl = _pad8(f_spans.start), _pad8(f_spans.length)
     bs, bl = _pad8(b_spans.start), _pad8(b_spans.length)
-    return call(fs, fl, bs, bl, fs, fl, bs, bl,
-                jnp.asarray(g, jnp.float32).reshape(1, 2),
-                q_packed, q_rhop, fc_packed, rp_packed, bc_packed)
+    g2 = jnp.asarray(g, jnp.float32).reshape(1, 2)
+    if windows is None:
+        return call(fs, fl, bs, bl, fs, fl, bs, bl, g2,
+                    q_packed, q_rhop, fc_packed, rp_packed, bc_packed)
+    nqb3 = 3 * (dims.tq // dims.qb)
+    win_spec = pl.BlockSpec((8, nqb3), lambda i: (i // 8, 0), memory_space=pltpu.SMEM)
+    grid_spec_qb = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=list(grid_spec.in_specs[:8]) + [win_spec, win_spec]
+        + list(grid_spec.in_specs[8:]),
+        out_specs=grid_spec.out_specs,
+        scratch_shapes=grid_spec.scratch_shapes,
+    )
+    kernel_qb = functools.partial(_forces_kernel_qb, cfg=cfg, dims=dims, n_tiles=n_tiles)
+    call_qb = pl.pallas_call(
+        kernel_qb,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        grid_spec=grid_spec_qb,
+        interpret=dims.interpret,
+    )
+    return call_qb(fs, fl, bs, bl, fs, fl, bs, bl,
+                   _pad8(windows[0]), _pad8(windows[1]), g2,
+                   q_packed, q_rhop, fc_packed, rp_packed, bc_packed)

@@ -156,3 +156,54 @@ def layout_spans(layout: RowLayout, cells, cell_starts, target_cell_starts,
     extra = start % LANE
     overflow = jnp.sum(jnp.maximum(extra + length - cap, 0)).astype(jnp.int32)
     return TileSpans(start=start, length=length, overflow=overflow)
+
+
+def layout_qb_windows(layout: RowLayout, cells, cell_starts, target_cell_starts,
+                      cfg: SPHConfig, rowcap: int, tq: int, qb: int,
+                      target_rowcap: int) -> tuple:
+    """Per-(tile, span-row, query-block) candidate windows, fluid-fluid only.
+
+    A whole tile's span covers the union of its queries' column ranges; a
+    block of ``qb`` consecutive queries needs only its own [qc0-1, qc1+1]
+    columns of each row — typically one 128-lane chunk instead of the whole
+    span.  Returns (lo, hi): (n_tiles, 3*nqb) int32 absolute layout
+    coordinates, hi exclusive, empty (lo == hi == 0) when invalid.
+    """
+    m = cfg.n_cell_cols
+    n_rows = cfg.n_cell_rows
+    n_layout = layout.src.shape[0]
+    n_tiles = n_layout // tq
+    nqb = tq // qb
+
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    row = (t * tq) // rowcap                                    # (n_tiles,)
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+    row_count = cell_starts[(row_ids + 1) * m] - cell_starts[row_ids * m]
+    k0 = (t * tq) % rowcap
+    qcount = jnp.clip(jnp.minimum(row_count[row], rowcap) - k0, 0, tq)  # (n_tiles,)
+
+    # first/last valid query cell per block (valid slots are a row prefix)
+    blk = jnp.arange(nqb, dtype=jnp.int32)[None, :]             # (1, nqb)
+    b0 = blk * qb
+    bcount = jnp.clip(qcount[:, None] - b0, 0, qb)              # (n_tiles, nqb)
+    has_q = bcount > 0
+    first_slot = t[:, None] * tq + b0
+    last_slot = first_slot + jnp.maximum(bcount - 1, 0)
+    qc0 = jnp.where(has_q, cells[first_slot] % m, 0)
+    qc1 = jnp.where(has_q, cells[last_slot] % m, 0)
+
+    dr = jnp.asarray([-1, 0, 1], jnp.int32)[None, :, None]      # (1, 3, 1)
+    rows = row[:, None, None] + dr                              # (n_tiles, 3, 1)
+    ok = (rows >= 0) & (rows < n_rows) & has_q[:, None, :]
+    rows_c = jnp.clip(rows, 0, n_rows - 1)
+    clo = jnp.maximum(qc0 - 1, 0)[:, None, :]
+    chi = jnp.minimum(qc1 + 1, m - 1)[:, None, :]
+
+    lo = target_cell_starts[rows_c * m + clo]
+    hi = target_cell_starts[rows_c * m + chi + 1]
+    t_row_start = target_cell_starts[rows_c * m]
+    lo = rows_c * target_rowcap + (lo - t_row_start)
+    hi = rows_c * target_rowcap + (hi - t_row_start)
+    lo = jnp.where(ok, lo, 0).astype(jnp.int32)
+    hi = jnp.where(ok, hi, 0).astype(jnp.int32)
+    return lo.reshape(n_tiles, 3 * nqb), hi.reshape(n_tiles, 3 * nqb)
