@@ -155,10 +155,7 @@ def _density_kernel(
                     fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_f()
-            else:
-                pl.when(ln > 0)(_go_f)
+            _go_f()
         for s in range(nrb):
             st, ln = get_b(s)
             a, _ = _aligned_start(st)
@@ -168,10 +165,7 @@ def _density_kernel(
                     bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_b()
-            else:
-                pl.when(ln > 0)(_go_b)
+            _go_b()
 
     cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
     cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
@@ -212,10 +206,7 @@ def _density_kernel(
                 fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_f()
-        else:
-            pl.when(length > 0)(_wait_f)
+        _wait_f()
         total = jnp.minimum(extra + length, cap)
         n_chunks = (total + LANE - 1) // LANE
 
@@ -245,10 +236,7 @@ def _density_kernel(
                 bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_b()
-        else:
-            pl.when(length > 0)(_wait_b)
+        _wait_b()
         total = jnp.minimum(extra + length, capb)
         n_chunks = (total + LANE - 1) // LANE
 
@@ -316,10 +304,7 @@ def _density_kernel_qb(
                     fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_f()
-            else:
-                pl.when(ln > 0)(_go_f)
+            _go_f()
         for s in range(nrb):
             st, ln = get_b(s)
             a, _ = _aligned_start(st)
@@ -329,10 +314,7 @@ def _density_kernel_qb(
                     bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_b()
-            else:
-                pl.when(ln > 0)(_go_b)
+            _go_b()
 
     cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
     cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
@@ -363,10 +345,7 @@ def _density_kernel_qb(
                 fc_hbm.at[:, pl.ds(a, cap)], cf.at[slot, s], sem_f.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_f()
-        else:
-            pl.when(f_len[ib, s] > 0)(_wait_f)
+        _wait_f()
     for s in range(nrb):
         a, _ = _aligned_start(b_start[ib, s])
 
@@ -375,10 +354,7 @@ def _density_kernel_qb(
                 bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_b()
-        else:
-            pl.when(b_len[ib, s] > 0)(_wait_b)
+        _wait_b()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     norm = jnp.float32(cfg.kernel_norm)
@@ -492,10 +468,7 @@ def _forces_kernel_qb(
                     rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_f()
-            else:
-                pl.when(ln > 0)(_go_f)
+            _go_f()
         for s in range(nrb):
             st, ln = get_b(s)
             a, _ = _aligned_start(st)
@@ -505,10 +478,7 @@ def _forces_kernel_qb(
                     bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_b()
-            else:
-                pl.when(ln > 0)(_go_b)
+            _go_b()
 
     cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
     cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
@@ -541,10 +511,7 @@ def _forces_kernel_qb(
                 rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_f()
-        else:
-            pl.when(f_len[ib, s] > 0)(_wait_f)
+        _wait_f()
     for s in range(nrb):
         a, _ = _aligned_start(b_start[ib, s])
 
@@ -553,10 +520,7 @@ def _forces_kernel_qb(
                 bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_b()
-        else:
-            pl.when(b_len[ib, s] > 0)(_wait_b)
+        _wait_b()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     h = jnp.float32(cfg.h)
@@ -796,10 +760,7 @@ def _forces_kernel(
                     rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_f()
-            else:
-                pl.when(ln > 0)(_go_f)
+            _go_f()
         for s in range(nrb):
             st, ln = get_b(s)
             a, _ = _aligned_start(st)
@@ -809,10 +770,7 @@ def _forces_kernel(
                     bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
                 ).start()
 
-            if dims.interpret:
-                _go_b()
-            else:
-                pl.when(ln > 0)(_go_b)
+            _go_b()
 
     cur_f = lambda s: (f_start[ib, s], f_len[ib, s])
     cur_b = lambda s: (b_start[ib, s], b_len[ib, s])
@@ -869,10 +827,7 @@ def _forces_kernel(
                 rp_hbm.at[:, pl.ds(a, cap)], crp.at[slot, s], sem_rp.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_f()
-        else:
-            pl.when(length > 0)(_wait_f)
+        _wait_f()
         total = jnp.minimum(extra + length, cap)
         n_chunks = (total + LANE - 1) // LANE
 
@@ -930,10 +885,7 @@ def _forces_kernel(
                 bc_hbm.at[:, pl.ds(a, capb)], cb.at[slot, s], sem_b.at[slot, s]
             ).wait()
 
-        if dims.interpret:
-            _wait_b()
-        else:
-            pl.when(length > 0)(_wait_b)
+        _wait_b()
         total = jnp.minimum(extra + length, capb)
         n_chunks = (total + LANE - 1) // LANE
 
@@ -1001,7 +953,9 @@ def forces_call(
         in_specs=[
             f_span_spec, f_span_spec, b_span_spec, b_span_spec,
             f_span_ahead, f_span_ahead, b_span_ahead, b_span_ahead,
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            # gravity as an (8, 2) SMEM block: a (1, 2) block (sublane dim 1)
+            # intermittently read garbage for a subset of tiles on v5e
+            pl.BlockSpec((8, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((dims.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dims.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1027,7 +981,7 @@ def forces_call(
     )
     fs, fl = _pad8(f_spans.start), _pad8(f_spans.length)
     bs, bl = _pad8(b_spans.start), _pad8(b_spans.length)
-    g2 = jnp.asarray(g, jnp.float32).reshape(1, 2)
+    g2 = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (8, 2))
     if windows is None:
         return call(fs, fl, bs, bl, fs, fl, bs, bl, g2,
                     q_packed, q_rhop, fc_packed, rp_packed, bc_packed)
