@@ -176,7 +176,6 @@ def main(argv=None):
     bp = sub.add_parser("bench", help="headless throughput benchmark")
     bp.add_argument("--n", type=int, default=1_000_000, help="target particle count")
     bp.add_argument("--steps", type=int, default=200)
-    bp.add_argument("--steps-warmup", type=int, default=20)
     bp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
     bp.add_argument("--render", action="store_true", help="include rendering in the loop")
     bp.add_argument("--resort-every", type=int, default=4)

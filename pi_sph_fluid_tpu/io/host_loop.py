@@ -14,6 +14,7 @@ display I/O (io/display.AsyncSink).
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass
 
 import jax
@@ -62,6 +63,15 @@ class SimRunner:
     ):
         if resort_every < 1:
             raise ValueError(f"resort_every must be >= 1, got {resort_every}")
+        if render and resort_every > 1 and backend == "pallas":
+            # the Pallas renderer rebuilds fluid CSR offsets from live
+            # positions, which must agree with the row-padded layout; after
+            # resort_every-1 carried ticks cell-crossers shift the span
+            # windows and can wrongly unlight threshold pixels.  Physics is
+            # unaffected — only frames — so rendering forces fresh layouts.
+            warnings.warn("renderer attached: clamping resort_every to 1 "
+                          "(sticky layouts would render stale span windows)")
+            resort_every = 1
         self.cfg = cfg
         self.n_fluid = fluid.n
         self.backend = backend
@@ -135,7 +145,9 @@ class SimRunner:
             n_settle = int(round(settle_seconds / dt))
             g0 = jnp.broadcast_to(
                 jnp.asarray(gravity_source.current(), jnp.float32), (k, 2))
-            for _ in range(max(1, n_settle // k)):
+            # settle time rounds UP to whole k-step dispatches (dispatch
+            # granularity is the scan length; a shorter trace would recompile)
+            for _ in range(-(-n_settle // k)):
                 sim, _ = self._settle_multi(sim, g0)
         reporter = StatsReporter(dt=dt, stream=report_stream)
         t0 = time.perf_counter()

@@ -1,0 +1,292 @@
+"""Window-kernel simulation engine — the round-2 production TPU path.
+
+Same physics and integration order as models/simulation.py (the jnp oracle)
+and models/engine_pallas.py (the round-1 engine), re-engineered around the
+round-2 findings from on-chip profiling:
+
+* pair passes use the per-query-block window kernels over the row-triple
+  merged candidate layout (ops/pallas/triple.py) — computed pair lanes track
+  the true 3x3-cell stencil instead of a whole-tile union window (the
+  round-1 kernels burned 6-12x more lanes);
+* the relayout avoids 1-D element gathers entirely (measured ~5x slower
+  than row gathers on v5e): one pair-sort yields sorted keys AND order with
+  no key gather, per-particle cell constants ride one row gather of a
+  per-cell table, and particle ids travel inside the packed array
+  (bitcast int32<->f32 in column 7) so they relayout for free;
+* p/rho^2 is computed once per particle (density-kernel output) instead of
+  once per pair lane;
+* fluid and boundary candidates share lanes (one window, one DMA per query
+  block) — the reference's separate fluid/boundary loops
+  (`pi_sph_fluid.c:311-366`) become per-candidate constants.
+
+State layout: (n_layout, 8) float32 [x, y, u, v, m, rho, p, id(bitcast)],
+row-padded as in round 1 (pads: m = 0, x = -1e6).  ``multi_step`` scans K
+ticks per dispatch; ``resort_every`` > 1 reuses the layout/windows across a
+group of ticks (sticky layout, same staleness bound as round 1 —
+see make_multi_step).
+
+Observability: StepStats.neighbor_overflow = window-cap losses plus
+(weighted x1e6) row-capacity losses — both must read 0 in a healthy run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SPHConfig
+from ..state import BoundaryState, FluidState
+from ..ops.grid import GridContext, cell_ids
+from ..ops.pallas.spans import build_row_layout
+from ..ops.pallas.triple import (INERT_X, TripleCtx, TripleSpec,
+                                 build_triple_ctx, triple_spec)
+from ..ops.pallas.window_kernels import density_window_call, forces_window_call
+from .engine_pallas import PackedSim
+from .simulation import StepStats
+
+__all__ = ["WindowEngine", "TripleSpec"]
+
+_ID_PAD = np.int32(-1).view(np.float32)  # col-7 bitcast id of inert slots
+_INERT_ROW = np.asarray([INERT_X, INERT_X, 0, 0, 0, 0, 0, _ID_PAD], np.float32)
+
+
+class WindowEngine:
+    """Owns the static scene (boundary, capacities) and builds jittable
+    prime/step/multi_step functions for a fixed fluid particle count."""
+
+    def __init__(
+        self,
+        cfg: SPHConfig,
+        boundary: BoundaryState,
+        boundary_grid: GridContext,
+        n_real: int,
+        tq: int = 128,
+        qb: int = 16,
+        cap: int = 256,
+        row_slack: float = 1.35,
+        interpret: bool = False,
+    ):
+        self.cfg = cfg
+        self.n_real = int(n_real)
+        nb = int(boundary.x.shape[0])
+        self.spec = triple_spec(cfg, self.n_real, nb, tq, qb, cap, row_slack)
+        self.interpret = interpret
+        self.boundary = boundary
+        self.b_cell_starts = boundary_grid.cell_starts
+        self.b_keys_sorted = boundary_grid.sorted_cells
+        # static gather-source rows for boundary + the inert row:
+        # [x, y, u=0, v=0, psi, a_j=1 (fluid-rho viscosity denominator,
+        # `pi_sph_fluid.c:362`), c_press=0 (fluid-only pressure,
+        # `pi_sph_fluid.c:350`), rho_eff=0]
+        zb = jnp.zeros_like(boundary.x)
+        self.b_geo = jnp.stack(
+            [boundary.x, boundary.y, zb, zb, boundary.m,
+             jnp.ones_like(zb), zb, zb], axis=1)
+        self.inert_row = jnp.asarray(_INERT_ROW)[None, :]
+
+    # ------------------------------------------------------------------
+    @property
+    def n_layout(self) -> int:
+        return self.spec.n_layout
+
+    @property
+    def rowcap(self) -> int:
+        return self.spec.rowcap
+
+    # ------------------------------------------------------------------
+    def _relayout(self, packed):
+        """Sort into the row-padded layout and build the triple context.
+
+        Row gathers + arithmetic only: the pair sort returns sorted keys
+        directly (no key gather), ids ride in packed col 7.
+        """
+        cfg, spec = self.cfg, self.spec
+        x, y, m = packed[:, 0], packed[:, 1], packed[:, 4]
+        keys = jnp.where(m > 0, cell_ids(x, y, cfg), cfg.n_cells)
+        iota = jnp.arange(spec.n_layout, dtype=jnp.int32)
+        sk, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
+        counts = jnp.zeros(cfg.n_cells + 2, jnp.int32).at[keys + 1].add(1)
+        cell_starts = jnp.cumsum(counts, dtype=jnp.int32)
+
+        layout = build_row_layout(spec.n_layout, cell_starts, cfg, spec.rowcap)
+        packed_sorted = packed[order]
+        packed_new = jnp.where(layout.valid[:, None],
+                               packed_sorted[layout.src], self.inert_row)
+        cells = jnp.where(packed_new[:, 4] > 0,
+                          cell_ids(packed_new[:, 0], packed_new[:, 1], cfg),
+                          cfg.n_cells)
+        ctx = build_triple_ctx(spec, cfg, sk, cell_starts, self.b_cell_starts,
+                               self.b_keys_sorted, cells)
+        overflow = ctx.overflow + 1_000_000 * layout.lost
+        return packed_new, ctx, overflow
+
+    # ------------------------------------------------------------------
+    def _geo_src(self, packed):
+        """(n_src, 8) gather source: fluid rows re-derived from live state
+        [x, y, u, v, m, a_j=0.5 (pair-mean viscosity), cpress/rho_eff junk
+        (overwritten post-density)] + static boundary rows + the inert row."""
+        n = self.spec.n_layout
+        aj = jnp.full((n, 1), 0.5, jnp.float32)
+        z2 = jnp.zeros((n, 2), jnp.float32)
+        fluid_rows = jnp.concatenate([packed[:, 0:5], aj, z2], axis=1)
+        return jnp.concatenate([fluid_rows, self.b_geo, self.inert_row], axis=0)
+
+    def _eos(self, rho):
+        """Tait EOS + per-particle p/rho^2 and rho/2 (`pi_sph_fluid.c:294-301`),
+        elementwise in XLA: (n_layout, 1) rho -> (n_layout, 4)."""
+        cfg = self.cfg
+        ratio = rho * jnp.float32(1.0 / cfg.rho_0)
+        r2 = ratio * ratio
+        r4 = r2 * r2
+        p = jnp.maximum(jnp.float32(cfg.tait_b) * (r4 * r2 * ratio - 1.0), 0.0)
+        cpress = jnp.where(rho > 0.0, p / (rho * rho), 0.0)
+        return jnp.concatenate([rho, p, cpress, 0.5 * rho], axis=1)
+
+    def _pair_passes(self, packed, ctx: TripleCtx, g):
+        cfg, spec = self.cfg, self.spec
+        trip = self._geo_src(packed)[ctx.trip_src].T        # (8, L)
+        rho = density_window_call(packed, trip, ctx.w_start,
+                                  cfg, spec, interpret=self.interpret)
+        dens = self._eos(rho)
+        # fresh per-candidate c_press / rho_eff rows (cols 2:4 of dens)
+        nb1 = self.spec.n_src - self.spec.n_layout
+        rp_src = jnp.concatenate(
+            [dens[:, 2:4], jnp.zeros((nb1, 2), jnp.float32)], axis=0)
+        trip = jax.lax.dynamic_update_slice(trip, rp_src[ctx.trip_src].T, (6, 0))
+        acc = forces_window_call(packed, dens, trip, ctx.w_start,
+                                 g, cfg, spec, interpret=self.interpret)
+        packed = jnp.concatenate([packed[:, :5], dens[:, 0:2], packed[:, 7:8]], axis=1)
+        return packed, acc[:, 0], acc[:, 1]
+
+    def _force_pass(self, packed, g):
+        packed, ctx, overflow = self._relayout(packed)
+        packed, au, av = self._pair_passes(packed, ctx, g)
+        return packed, au, av, overflow
+
+    # ------------------------------------------------------------------
+    def _initial_packed(self, fluid: FluidState):
+        extra = self.spec.n_layout - fluid.n
+        assert extra >= 0, "scene larger than layout capacity"
+        cols = np.zeros((self.spec.n_layout, 8), np.float32)
+        cols[fluid.n:] = _INERT_ROW
+        for j, f in enumerate((fluid.x, fluid.y, fluid.u, fluid.v,
+                               fluid.m, fluid.rho, fluid.p)):
+            cols[: fluid.n, j] = np.asarray(f)
+        cols[: fluid.n, 7] = np.arange(fluid.n, dtype=np.int32).view(np.float32)
+        return jnp.asarray(cols)
+
+    @staticmethod
+    def _ids(packed):
+        return jax.lax.bitcast_convert_type(packed[:, 7], jnp.int32)
+
+    def prime(self, fluid: FluidState, g) -> PackedSim:
+        """Step-0 pass (`pi_sph_fluid.c:604-607`) into layout space."""
+        packed = self._initial_packed(fluid)
+
+        @jax.jit
+        def _prime(packed, g):
+            pk, au, av, _ = self._force_pass(packed, jnp.asarray(g, jnp.float32))
+            return PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
+
+        return _prime(packed, jnp.asarray(g, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def make_step(self, damping: float = 1.0):
+        """One tick (kick-drift-forces-kick, `pi_sph_fluid.c:614-644`)."""
+        dt = jnp.float32(self.cfg.dt)
+        half_dt = jnp.float32(0.5) * dt
+        damp = jnp.float32(damping)
+
+        def step(sim: PackedSim, g):
+            g = jnp.asarray(g, jnp.float32)
+            pk = self._kick_drift(sim, dt, half_dt)
+            pk, au, av, overflow = self._force_pass(pk, g)
+            sim = self._finish(pk, au, av, half_dt, damp)
+            return sim, self.stats(sim, overflow)
+
+        return step
+
+    @staticmethod
+    def _kick_drift(sim: PackedSim, dt, half_dt):
+        pk = sim.packed
+        u = pk[:, 2] + half_dt * sim.au
+        v = pk[:, 3] + half_dt * sim.av
+        x = pk[:, 0] + dt * u
+        y = pk[:, 1] + dt * v
+        return jnp.concatenate(
+            [x[:, None], y[:, None], u[:, None], v[:, None], pk[:, 4:]], axis=1)
+
+    def _finish(self, pk, au, av, half_dt, damp):
+        u2 = (pk[:, 2] + half_dt * au) * damp
+        v2 = (pk[:, 3] + half_dt * av) * damp
+        pk = jnp.concatenate([pk[:, :2], u2[:, None], v2[:, None], pk[:, 4:]], axis=1)
+        return PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
+
+    def make_multi_step(self, damping: float = 1.0, resort_every: int = 1):
+        """K ticks per dispatch; ``resort_every`` > 1 reuses layout + windows
+        across each group (sticky layout).  Staleness bound as in round 1:
+        with v <= C/10 (the WCSPH design bound, `pi_sph_fluid.c:16`) a layout
+        stale by k-1 ticks can only miss pairs in the outer 0.2*(k-1)*H shell
+        of the support; the triple windows span full cells, so every computed
+        pair stays exact."""
+        dt = jnp.float32(self.cfg.dt)
+        half_dt = jnp.float32(0.5) * dt
+        damp = jnp.float32(damping)
+
+        if resort_every <= 1:
+            step = self.make_step(damping)
+
+            def multi_step(sim: PackedSim, g_trace):
+                return jax.lax.scan(step, sim, jnp.asarray(g_trace, jnp.float32))
+
+            return multi_step
+
+        def group(sim: PackedSim, g_group):
+            pk = self._kick_drift(sim, dt, half_dt)
+            pk, ctx, overflow = self._relayout(pk)
+            pk, au, av = self._pair_passes(pk, ctx, g_group[0])
+            sim = self._finish(pk, au, av, half_dt, damp)
+            stats_list = [self.stats(sim, overflow)]
+            for j in range(1, resort_every):
+                pk = self._kick_drift(sim, dt, half_dt)
+                pk, au, av = self._pair_passes(pk, ctx, g_group[j])
+                sim = self._finish(pk, au, av, half_dt, damp)
+                stats_list.append(self.stats(sim, jnp.asarray(0, jnp.int32)))
+            stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stats_list)
+            return sim, stats
+
+        def multi_step(sim: PackedSim, g_trace):
+            g_trace = jnp.asarray(g_trace, jnp.float32)
+            k = g_trace.shape[0]
+            assert k % resort_every == 0, \
+                f"trace length {k} not a multiple of resort_every={resort_every}"
+            groups = g_trace.reshape(k // resort_every, resort_every, 2)
+            sim, stats = jax.lax.scan(group, sim, groups)
+            flat = jax.tree_util.tree_map(lambda a: a.reshape(k, *a.shape[2:]), stats)
+            return sim, flat
+
+        return multi_step
+
+    # ------------------------------------------------------------------
+    def stats(self, sim: PackedSim, overflow=None) -> StepStats:
+        rho0 = jnp.float32(self.cfg.rho_0)
+        m = sim.packed[:, 4]
+        rho = sim.packed[:, 5]
+        max_rho_error = jnp.max(jnp.where(m > 0, rho, 0.0) - rho0)
+        speed2 = sim.packed[:, 2] ** 2 + sim.packed[:, 3] ** 2
+        return StepStats(
+            max_rho_error_pct=jnp.maximum(max_rho_error, 0.0) / rho0 * 100.0,
+            max_speed=jnp.sqrt(jnp.max(speed2)),
+            neighbor_overflow=jnp.asarray(0, jnp.int32) if overflow is None else overflow,
+        )
+
+    # ------------------------------------------------------------------
+    def unpad(self, sim: PackedSim) -> FluidState:
+        """Real particles in original id order (host-side convenience)."""
+        ids = np.asarray(sim.ids)
+        sel = np.nonzero(ids >= 0)[0]
+        inv = sel[np.argsort(ids[sel])]
+        pk = np.asarray(sim.packed)[inv]
+        return FluidState(*(jnp.asarray(pk[:, j]) for j in range(7)))

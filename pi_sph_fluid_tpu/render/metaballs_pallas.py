@@ -49,15 +49,15 @@ def _field_kernel(
     for s in range(nr):
         a, _ = _aligned_start(f_start[ib, s])
 
+        # unconditional: predicated start/wait pairs unbalance the DMA
+        # semaphores (the round-1 hardware NaN bug, commit 673adb1) — empty
+        # spans cost only negligible bandwidth
         def _go(a=a, s=s):
             pltpu.make_async_copy(
                 fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
             ).start()
 
-        if interpret:  # predicated DMA deadlocks interpret mode
-            _go()
-        else:
-            pl.when(f_len[ib, s] > 0)(_go)
+        _go()
 
     qx = q_ref[:, 0].reshape(tq, 1)
     qy = q_ref[:, 1].reshape(tq, 1)
@@ -73,10 +73,7 @@ def _field_kernel(
                 fc_hbm.at[:, pl.ds(a, cap)], cf.at[s], sem_f.at[s]
             ).wait()
 
-        if interpret:
-            _wait()
-        else:
-            pl.when(length > 0)(_wait)
+        _wait()
         total = jnp.minimum(extra + length, cap)
         n_chunks = (total + LANE - 1) // LANE
 
@@ -167,7 +164,16 @@ class PallasRenderer:
 
     # ------------------------------------------------------------------
     def field(self, sim: PackedSim) -> jnp.ndarray:
-        """Raw metaball field per row-major pixel, shape (rows*cols,)."""
+        """Raw metaball field per row-major pixel, shape (rows*cols,).
+
+        Requires the state's row-padded layout to be *fresh* (positions not
+        drifted more than one tick past the last relayout): the CSR offsets
+        are recomputed from live positions and must agree with the layout's
+        slot assignment.  A state carried resort_every-1 ticks past its
+        relayout can shift span windows by the number of cell-crossing
+        particles and wrongly unlight threshold pixels — SimRunner therefore
+        clamps resort_every to 1 whenever a renderer is attached.
+        """
         cfg, eng = self.cfg, self.engine
         packed = sim.packed
         # the state is in layout order and positions haven't moved since the
