@@ -12,14 +12,14 @@ round-2 findings from on-chip profiling:
   than row gathers on v5e): one pair-sort yields sorted keys AND order with
   no key gather, per-particle cell constants ride one row gather of a
   per-cell table, and particle ids travel inside the packed array
-  (bitcast int32<->f32 in column 7) so they relayout for free;
+  (float-valued column 7) so they relayout for free;
 * p/rho^2 is computed once per particle (density-kernel output) instead of
   once per pair lane;
 * fluid and boundary candidates share lanes (one window, one DMA per query
   block) — the reference's separate fluid/boundary loops
   (`pi_sph_fluid.c:311-366`) become per-candidate constants.
 
-State layout: (n_layout, 8) float32 [x, y, u, v, m, rho, p, id(bitcast)],
+State layout: (n_layout, 8) float32 [x, y, u, v, m, rho, p, id(as float)],
 row-padded as in round 1 (pads: m = 0, x = -1e6).  ``multi_step`` scans K
 ticks per dispatch; ``resort_every`` > 1 reuses the layout/windows across a
 group of ticks (sticky layout, same staleness bound as round 1 —
@@ -39,17 +39,20 @@ import jax.numpy as jnp
 from ..config import SPHConfig
 from ..state import BoundaryState, FluidState
 from ..ops.grid import GridContext, cell_ids
-from ..ops.pallas.spans import build_row_layout
 from ..ops.pallas.triple import (INERT_X, TripleCtx, TripleSpec,
-                                 build_triple_ctx, triple_spec)
+                                 block_windows, build_frame, triple_spec)
 from ..ops.pallas.window_kernels import density_window_call, forces_window_call
 from .engine_pallas import PackedSim
 from .simulation import StepStats
 
 __all__ = ["WindowEngine", "TripleSpec"]
 
-_ID_PAD = np.int32(-1).view(np.float32)  # col-7 bitcast id of inert slots
-_INERT_ROW = np.asarray([INERT_X, INERT_X, 0, 0, 0, 0, 0, _ID_PAD], np.float32)
+# ids travel in packed column 7 as float32 *values* (exact below 2^24 ~ 16.7M
+# particles, asserted at engine build).  NOT as int32 bitcasts: ids < 2^23
+# bitcast to denormal floats, and the TPU flushes denormals to zero whenever
+# XLA routes the column through a compute unit — observed collapsing every
+# id to 0 on v5e.
+_INERT_ROW = np.asarray([INERT_X, INERT_X, 0, 0, 0, 0, 0, -1.0], np.float32)
 
 
 class WindowEngine:
@@ -62,28 +65,27 @@ class WindowEngine:
         boundary: BoundaryState,
         boundary_grid: GridContext,
         n_real: int,
-        tq: int = 128,
+        tq: int = 256,
         qb: int = 16,
         cap: int = 256,
-        row_slack: float = 1.35,
+        seg_q: int = 3,
         interpret: bool = False,
     ):
         self.cfg = cfg
         self.n_real = int(n_real)
+        assert n_real < (1 << 24), "float-valued ids are exact only below 2^24"
         nb = int(boundary.x.shape[0])
-        self.spec = triple_spec(cfg, self.n_real, nb, tq, qb, cap, row_slack)
+        self.spec = triple_spec(cfg, self.n_real, nb, tq, qb, cap, seg_q)
         self.interpret = interpret
         self.boundary = boundary
         self.b_cell_starts = boundary_grid.cell_starts
-        self.b_keys_sorted = boundary_grid.sorted_cells
-        # static gather-source rows for boundary + the inert row:
-        # [x, y, u=0, v=0, psi, a_j=1 (fluid-rho viscosity denominator,
-        # `pi_sph_fluid.c:362`), c_press=0 (fluid-only pressure,
-        # `pi_sph_fluid.c:350`), rho_eff=0]
+        # static gather-source rows for boundary + the inert row, shaped like
+        # packed state: [x, y, u=0, v=0, psi, 0, 0, 0]; the force kernel
+        # identifies boundary lanes by rho_eff == 0 (fluid-only viscosity
+        # denominator + fluid-only pressure, `pi_sph_fluid.c:350,362`)
         zb = jnp.zeros_like(boundary.x)
         self.b_geo = jnp.stack(
-            [boundary.x, boundary.y, zb, zb, boundary.m,
-             jnp.ones_like(zb), zb, zb], axis=1)
+            [boundary.x, boundary.y, zb, zb, boundary.m, zb, zb, zb], axis=1)
         self.inert_row = jnp.asarray(_INERT_ROW)[None, :]
 
     # ------------------------------------------------------------------
@@ -91,48 +93,33 @@ class WindowEngine:
     def n_layout(self) -> int:
         return self.spec.n_layout
 
-    @property
-    def rowcap(self) -> int:
-        return self.spec.rowcap
-
     # ------------------------------------------------------------------
     def _relayout(self, packed):
-        """Sort into the row-padded layout and build the triple context.
-
-        Row gathers + arithmetic only: the pair sort returns sorted keys
-        directly (no key gather), ids ride in packed col 7.
+        """Sort into the qb-quantized row layout and build the triple
+        context.  Row gathers + arithmetic + one scatter-max/cummax only
+        (1-D element gathers and scatter chains are 3-5x slower on v5e);
+        ids ride in packed col 7 (as float values) so they relayout for free.
         """
         cfg, spec = self.cfg, self.spec
         x, y, m = packed[:, 0], packed[:, 1], packed[:, 4]
         keys = jnp.where(m > 0, cell_ids(x, y, cfg), cfg.n_cells)
-        iota = jnp.arange(spec.n_layout, dtype=jnp.int32)
-        sk, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
+        order = jnp.argsort(keys, stable=True).astype(jnp.int32)
         counts = jnp.zeros(cfg.n_cells + 2, jnp.int32).at[keys + 1].add(1)
         cell_starts = jnp.cumsum(counts, dtype=jnp.int32)
 
-        layout = build_row_layout(spec.n_layout, cell_starts, cfg, spec.rowcap)
-        packed_sorted = packed[order]
-        packed_new = jnp.where(layout.valid[:, None],
-                               packed_sorted[layout.src], self.inert_row)
+        layout_src, trip_src, T = build_frame(spec, cfg, cell_starts,
+                                              self.b_cell_starts)
+        packed_sorted = jnp.concatenate([packed[order], self.inert_row], axis=0)
+        packed_new = packed_sorted[layout_src]
         cells = jnp.where(packed_new[:, 4] > 0,
                           cell_ids(packed_new[:, 0], packed_new[:, 1], cfg),
                           cfg.n_cells)
-        ctx = build_triple_ctx(spec, cfg, sk, cell_starts, self.b_cell_starts,
-                               self.b_keys_sorted, cells)
-        overflow = ctx.overflow + 1_000_000 * layout.lost
+        w_start, w_len, overflow = block_windows(spec, cfg, cells, T)
+        ctx = TripleCtx(layout_src=layout_src, trip_src=trip_src,
+                        w_start=w_start, w_len=w_len, overflow=overflow)
         return packed_new, ctx, overflow
 
     # ------------------------------------------------------------------
-    def _geo_src(self, packed):
-        """(n_src, 8) gather source: fluid rows re-derived from live state
-        [x, y, u, v, m, a_j=0.5 (pair-mean viscosity), cpress/rho_eff junk
-        (overwritten post-density)] + static boundary rows + the inert row."""
-        n = self.spec.n_layout
-        aj = jnp.full((n, 1), 0.5, jnp.float32)
-        z2 = jnp.zeros((n, 2), jnp.float32)
-        fluid_rows = jnp.concatenate([packed[:, 0:5], aj, z2], axis=1)
-        return jnp.concatenate([fluid_rows, self.b_geo, self.inert_row], axis=0)
-
     def _eos(self, rho):
         """Tait EOS + per-particle p/rho^2 and rho/2 (`pi_sph_fluid.c:294-301`),
         elementwise in XLA: (n_layout, 1) rho -> (n_layout, 4)."""
@@ -146,16 +133,22 @@ class WindowEngine:
 
     def _pair_passes(self, packed, ctx: TripleCtx, g):
         cfg, spec = self.cfg, self.spec
-        trip = self._geo_src(packed)[ctx.trip_src].T        # (8, L)
-        rho = density_window_call(packed, trip, ctx.w_start,
+        # candidate geometry: the state itself is the gather source (the
+        # kernels only read rows 0-4: x, y, u, v, m~)
+        geo_src = jnp.concatenate([packed, self.b_geo, self.inert_row], axis=0)
+        geo = geo_src[ctx.trip_src].T                       # (8, L)
+        rho = density_window_call(packed, geo, ctx.w_start,
                                   cfg, spec, interpret=self.interpret)
         dens = self._eos(rho)
-        # fresh per-candidate c_press / rho_eff rows (cols 2:4 of dens)
+        # fresh per-candidate c_press / rho_eff (cols 2:4 of dens), widened
+        # to 4 columns: narrow (L,2) row gathers are ~5x slower on v5e
         nb1 = self.spec.n_src - self.spec.n_layout
-        rp_src = jnp.concatenate(
-            [dens[:, 2:4], jnp.zeros((nb1, 2), jnp.float32)], axis=0)
-        trip = jax.lax.dynamic_update_slice(trip, rp_src[ctx.trip_src].T, (6, 0))
-        acc = forces_window_call(packed, dens, trip, ctx.w_start,
+        rp_src = jnp.concatenate([
+            jnp.concatenate([dens[:, 2:4],
+                             jnp.zeros((spec.n_layout, 2), jnp.float32)], axis=1),
+            jnp.zeros((nb1, 4), jnp.float32)], axis=0)
+        rp = rp_src[ctx.trip_src].T                         # (4, L)
+        acc = forces_window_call(packed, dens, geo, rp, ctx.w_start,
                                  g, cfg, spec, interpret=self.interpret)
         packed = jnp.concatenate([packed[:, :5], dens[:, 0:2], packed[:, 7:8]], axis=1)
         return packed, acc[:, 0], acc[:, 1]
@@ -174,12 +167,12 @@ class WindowEngine:
         for j, f in enumerate((fluid.x, fluid.y, fluid.u, fluid.v,
                                fluid.m, fluid.rho, fluid.p)):
             cols[: fluid.n, j] = np.asarray(f)
-        cols[: fluid.n, 7] = np.arange(fluid.n, dtype=np.int32).view(np.float32)
+        cols[: fluid.n, 7] = np.arange(fluid.n, dtype=np.float32)
         return jnp.asarray(cols)
 
     @staticmethod
     def _ids(packed):
-        return jax.lax.bitcast_convert_type(packed[:, 7], jnp.int32)
+        return packed[:, 7].astype(jnp.int32)
 
     def prime(self, fluid: FluidState, g) -> PackedSim:
         """Step-0 pass (`pi_sph_fluid.c:604-607`) into layout space."""

@@ -1,47 +1,60 @@
 """Row-triple merged candidate layout — the round-2 pair-kernel data structure.
 
 **Why.**  The round-1 kernels shared one candidate window across a whole
-TQ=128-query tile: 128 queries in one cell row span ~19 cells at the bench
+128-query tile: 128 queries in one cell row span ~19 cells at the bench
 occupancy, so every query computed against a ~22-cell union window — 6-12x
 more pair lanes than the true 3x3-cell stencil (`pi_sph_fluid.c:136-141`)
 needs.  Per-query-block windows fix that, but with the plain row layout a
 block's candidates are 3 disjoint spans (rows r-1, r, r+1), each paying its
 own 128-lane DMA-alignment and chunk quantization.
 
-**The structure.**  For each grid row r, a *segment* holds every candidate a
-row-r query can see — all particles (fluid AND boundary, merged) of rows
-r-1, r, r+1 — ordered **column-major**: segment r = concat over columns c of
-[row r-1 fluid, row r-1 boundary, row r fluid, row r boundary, row r+1 ...].
-Consequences:
+**The structure.**  Grid rows are grouped SEG_Q at a time; for each group a
+*segment* holds every candidate its queries can see — all particles (fluid
+AND boundary, merged) of rows [SEG_Q*s - 1, SEG_Q*(s+1)] — ordered
+**column-major**: segment s = concat over columns c of [cover-row 0 fluid,
+cover-row 0 boundary, cover-row 1 fluid, ...].  Consequences:
 
-* a block of QB consecutive queries (cells [c0, c1] of row r) has exactly
-  **one** contiguous candidate window: segment-r columns [c0-1, c1+1] —
-  one span, one DMA, ~(QB + 3*occupancy) true lanes;
+* a block of QB consecutive queries (cells [c0, c1] of one row) has exactly
+  **one** contiguous candidate window: its segment's columns [c0-1, c1+1] —
+  one span, one DMA;
+* grouping SEG_Q query rows per segment trades a few distance-killed lanes
+  (cover rows 2 away from a query's row) for a (SEG_Q+2)/(3*SEG_Q)x smaller
+  candidate array — the per-step candidate re-gather is the dominant
+  XLA-side cost, measured ~11 GB/s effective on v5e;
 * the array holds only real particles (no layout pads), so window length
   tracks true candidate count;
-* fluid and boundary share lanes: density sums m~*W with m~ = mass or
-  pseudo-mass (identical formulas, `pi_sph_fluid.c:274-285`); the force
-  pass's boundary asymmetries (`pi_sph_fluid.c:350,362`) reduce to two
-  per-candidate constants (see rows below);
 * **no per-lane masks**: a lane outside the window but inside the fetched
-  chunk is a real particle >= 1 whole cell away in x (or an inert segment
-  pad), so the q < 2 support test kills it; self-pairs need no exclusion
-  (density keeps the self term, which IS the reference's explicit
-  m*W(0) (`pi_sph_fluid.c:274-275`); force self-terms vanish as dx=dy=0);
+  chunk is a real particle >= 1 whole cell away (column direction) or >= 2
+  rows away, or an inert segment pad, so the q < 2 support test kills it;
+  self-pairs need no exclusion (the density self-term IS the reference's
+  explicit m*W(0), `pi_sph_fluid.c:274-275`; force self-terms vanish);
 * segments are separated by >= CAP + 128 inert pad lanes, so a fetch that
-  overruns a segment can never reach the next segment's duplicates.
+  overruns a segment can never reach the next segment's duplicate copies.
 
-Candidate row order (the (8, L) "trip" array):
-  0 x, 1 y, 2 u, 3 v, 4 m~ (mass | pseudo-mass),
-  5 a_j (viscosity denominator weight: 0.5 fluid, 1.0 boundary),
-  6 c_press (p_j/rho_j^2 fluid, 0 boundary),
-  7 rho_eff (0.5*rho_j fluid, 0 boundary)
-so the pair-mean density denominator (q_rho+c_rho)/2 (`pi_sph_fluid.c:333`)
+**The query layout** is row-padded like round 1 but with *per-row* capacity
+quantized to QB (not TQ): row r occupies layout slots
+[rstart[r], rstart[r] + roundup(row_count[r], QB)).  This keeps every
+QB-query block inside one row while wasting < QB slots per row (the round-1
+fixed rowcap wasted ~2x the particle count in inert pads, doubling every
+kernel and gather).  Row capacities can never drop particles (they round
+*up* per row), so the round-1 `lost` counter is gone by construction.
+
+All index structures are built from row gathers + arithmetic + one
+scatter-max + cummax: 1-D element gathers and scatter chains measured 3-5x
+slower than row gathers on v5e (tools/relayout_probe.py).
+
+Candidate arrays seen by the kernels:
+  geo (8, L): rows 0-4 = x, y, u, v, m~ (mass | pseudo-mass); rows 5-7
+              unused by kernels (they mirror whatever the gather source
+              carries there)
+  rp  (4, L): rows 0-1 = c_press (p_j/rho_j^2, 0 on boundary),
+              rho_eff (rho_j/2 fluid, 0 boundary); rows 2-3 zero
+so the pair-mean viscosity denominator (q_rho+c_rho)/2 (`pi_sph_fluid.c:333`)
 and the boundary's fluid-only denominator (`pi_sph_fluid.c:362`) unify as
-a_j*q_rho + rho_eff_j.
+a_j*q_rho + rho_eff_j with a_j = where(rho_eff_j > 0, 0.5, 1.0).
 
 Overflows are counted, never silent: window lanes beyond the block cap are
-reported by ``window_spans`` like round 1's span overflow.
+summed into ``overflow`` (must read 0 in a healthy run).
 """
 
 from __future__ import annotations
@@ -53,28 +66,27 @@ import jax.numpy as jnp
 
 from ...config import SPHConfig
 
-__all__ = ["TripleSpec", "TripleCtx", "triple_spec", "build_triple_ctx",
-           "gather_trip", "INERT_X"]
+__all__ = ["TripleSpec", "TripleCtx", "triple_spec", "build_frame", "INERT_X"]
 
 LANE = 128
 INERT_X = -1e6  # inert slots sit far outside the domain -> q >= 2 kills them
-_INVALID = -(1 << 30)
 
 
-def _round_up(x: int, m: int) -> int:
+def _round_up(x, m):
     return -(-x // m) * m
 
 
 class TripleSpec(NamedTuple):
-    """Static shape parameters of the triple layout (host-side ints)."""
+    """Static shape parameters (host-side ints)."""
 
     tq: int          # queries per kernel tile
-    qb: int          # queries per window block
-    cap: int         # max candidate lanes per block window (incl. alignment)
-    rowcap: int      # layout slots per cell row (multiple of tq)
-    n_layout: int    # rowcap * n_rows
-    L: int           # static triple-array length
+    qb: int          # queries per window block (row capacities quantize to qb)
+    cap: int         # candidate lanes fetched per block window
+    seg_q: int       # query rows per candidate segment
+    n_layout: int    # static query-layout length (multiple of tq)
+    L: int           # static candidate-array length
     n_src: int       # gather-source rows: n_layout + nb + 1 (inert)
+    n_runs: int      # static run-table length
 
     @property
     def nqb(self) -> int:
@@ -86,141 +98,167 @@ class TripleSpec(NamedTuple):
 
 
 class TripleCtx(NamedTuple):
-    """Per-resort traced context: where every candidate lives.
+    """Per-resort traced context.
 
-    trip_src: (L,) int32    — gather-source row feeding each triple slot
-    w_start:  (n_tiles, nqb) int32 — per-block window starts (triple coords)
-    w_len:    (n_tiles, nqb) int32 — true window lengths
-    overflow: () int32      — window lanes beyond cap (must be 0)
+    layout_src: (n_layout,) int32 — row of the *sorted+inert-extended* source
+                feeding each layout slot (inert row for pads)
+    trip_src:   (L,) int32 — gather-source row feeding each candidate slot
+    w_start:    (n_tiles, nqb) int32 — per-block window starts
+    w_len:      (n_tiles, nqb) int32 — true window lengths
+    overflow:   () int32 — window lanes beyond cap (must be 0)
     """
 
+    layout_src: jnp.ndarray
     trip_src: jnp.ndarray
     w_start: jnp.ndarray
     w_len: jnp.ndarray
     overflow: jnp.ndarray
 
 
-def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int, qb: int,
-                cap: int, row_slack: float) -> TripleSpec:
-    """Compute static sizes.  rowcap logic matches spans.layout_size."""
+def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
+                qb: int = 16, cap: int = 256, seg_q: int = 3) -> TripleSpec:
     assert tq % qb == 0 and cap % LANE == 0
-    per_cell = (cfg.cell_length / cfg.r) ** 2
-    max_row = int(cfg.n_cell_cols * per_cell * row_slack) + 1
-    rowcap = _round_up(min(max_row, n_real) + tq, tq)
-    n_layout = rowcap * cfg.n_cell_rows
-    # sum of segment strides <= 3(n+nb) + n_rows*(cap+128+127), plus a dump
-    # guard zone; every segment start is 128-aligned
-    L = _round_up(3 * (n_real + nb) + cfg.n_cell_rows * (cap + 2 * LANE - 1) + 2 * LANE, LANE)
-    return TripleSpec(tq=tq, qb=qb, cap=cap, rowcap=rowcap, n_layout=n_layout,
-                      L=L, n_src=n_layout + nb + 1)
+    n_rows = cfg.n_cell_rows
+    n_seg = -(-n_rows // seg_q)
+    n_layout = _round_up(n_real + qb * n_rows, tq)
+    cover = seg_q + 2
+    # a row r is covered by segments s with s*seg_q-1 <= r <= s*seg_q+seg_q,
+    # i.e. at most 2 segments for seg_q >= 2 (3 for seg_q = 1), so the real
+    # candidate total is <= copies*(n+nb); plus per-segment guard strides
+    copies = 3 if seg_q == 1 else 2
+    L = _round_up(copies * (n_real + nb) + n_seg * (cap + 2 * LANE) + 2 * LANE, LANE)
+    n_runs = n_seg * (cfg.n_cell_cols * cover * 2 + 1)
+    return TripleSpec(tq=tq, qb=qb, cap=cap, seg_q=seg_q, n_layout=n_layout,
+                      L=L, n_src=n_layout + nb + 1, n_runs=n_runs)
 
 
-def build_triple_ctx(
+def build_frame(
     spec: TripleSpec,
     cfg: SPHConfig,
-    sk: jnp.ndarray,            # (n_layout,) sorted fluid cell keys (pads = n_cells)
-    cell_starts: jnp.ndarray,   # (n_cells+2,) fluid CSR (sorted coords)
-    b_cell_starts: jnp.ndarray, # (n_cells+1,) boundary CSR (static)
-    b_keys_sorted: jnp.ndarray, # (nb,) boundary cell id per sorted boundary slot
-    cells_layout: jnp.ndarray,  # (n_layout,) cell id per layout slot (pads = n_cells)
-) -> TripleCtx:
-    """All per-resort index structures, built with row gathers + arithmetic
-    only (1-D element gathers are ~5x slower than row gathers on TPU)."""
+    cell_starts: jnp.ndarray,     # (n_cells+2,) fluid CSR over *sorted* slots
+    b_cell_starts: jnp.ndarray,   # (n_cells+1,) boundary CSR (static)
+) -> tuple:
+    """Everything derivable from the CSRs alone: the per-row query layout
+    and the candidate-array construction (trip_src).  Returns
+    (layout_src, trip_src, T) where T is the (n_cells+1, 8) per-cell
+    window table [wlo, whi, ...]."""
     m = cfg.n_cell_cols
     n_rows = cfg.n_cell_rows
     n_cells = cfg.n_cells
-    nb = b_keys_sorted.shape[0]
-    tq, qb, cap, rowcap = spec.tq, spec.qb, spec.cap, spec.rowcap
-    nqb, n_tiles = spec.nqb, spec.n_tiles
+    qb, cap, seg_q = spec.qb, spec.cap, spec.seg_q
+    n_seg = -(-n_rows // seg_q)
+    cover = seg_q + 2
 
     # ---- per-cell count grids --------------------------------------------
     fcnt = (cell_starts[1:n_cells + 1] - cell_starts[:n_cells]).reshape(n_rows, m)
     bcnt = (b_cell_starts[1:n_cells + 1] - b_cell_starts[:n_cells]).reshape(n_rows, m)
     cnt_all = fcnt + bcnt
-    zero_row = jnp.zeros((1, m), jnp.int32)
-    A = jnp.concatenate([zero_row, zero_row, cnt_all, zero_row, zero_row], axis=0)
-    # A[r + 2] == cnt_all[r]; A handles r-2..r+2 without branches
-    row3 = A[1:n_rows + 1] + A[2:n_rows + 2] + A[3:n_rows + 3]   # (n_rows, m)
+    row_count = jnp.sum(fcnt, axis=1)                       # (n_rows,)
+    row_start_sorted = cell_starts[jnp.arange(n_rows) * m]  # (n_rows,)
 
-    # ---- segment offsets (128-aligned, cap+128 guard pad between) ---------
-    seg_len = jnp.sum(row3, axis=1)
+    # ---- query layout: per-row capacity quantized to qb -------------------
+    rowcap = _round_up(row_count, qb)
+    rstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(rowcap, dtype=jnp.int32)])
+    t_layout = jnp.arange(spec.n_layout, dtype=jnp.int32)
+    # out-of-range starts (trailing empty rows at rstart == n_layout) must
+    # be DROPPED, not clamped: a clamped write would claim the last slot
+    seed = jnp.zeros((spec.n_layout,), jnp.int32).at[rstart[:n_rows]].max(
+        jnp.arange(n_rows, dtype=jnp.int32), mode="drop")
+    row_of = jax.lax.cummax(seed)                           # (n_layout,)
+    R = jnp.stack([row_start_sorted, rstart[:n_rows], row_count,
+                   jnp.arange(n_rows, dtype=jnp.int32)], axis=1)
+    R = jnp.pad(R, ((0, 1), (0, 4)))                        # (n_rows+1, 8)
+    Rr = R[row_of]
+    k_row = t_layout - Rr[:, 1]
+    layout_valid = k_row < Rr[:, 2]
+    # invalid slots gather the inert row appended at sorted index n_layout
+    layout_src = jnp.where(layout_valid,
+                           jnp.minimum(Rr[:, 0] + k_row, spec.n_layout - 1),
+                           spec.n_layout)
+
+    # ---- candidate segments ----------------------------------------------
+    # cumulative rows: P[r] = sum_{r'<r} cnt_all[r']  (per column)
+    P = jnp.concatenate([jnp.zeros((1, m), jnp.int32),
+                         jnp.cumsum(cnt_all, axis=0, dtype=jnp.int32)])
+    s_ids = jnp.arange(n_seg, dtype=jnp.int32)
+    lo_row = jnp.maximum(s_ids * seg_q - 1, 0)              # first covered row
+    hi_row = jnp.minimum((s_ids + 1) * seg_q, n_rows - 1)   # last covered row
+    segcnt = P[hi_row + 1] - P[lo_row]                      # (n_seg, m)
+    seg_len = jnp.sum(segcnt, axis=1)
     seg_stride = ((seg_len + cap + 2 * LANE - 1) // LANE) * LANE
     seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(seg_stride, dtype=jnp.int32)[:-1]])
-    tcol_start = seg_start[:, None] + (jnp.cumsum(row3, axis=1, dtype=jnp.int32) - row3)
-    tcol_end = tcol_start + row3
+    tcol_start = seg_start[:, None] + (jnp.cumsum(segcnt, axis=1, dtype=jnp.int32) - segcnt)
 
-    # ---- per-cell table T: one row gather serves all per-particle needs ---
-    rs = jnp.arange(n_rows, dtype=jnp.int32)
-    up_valid = rs < n_rows - 1
-    dn_valid = rs > 0
-    rs_up = jnp.minimum(rs + 1, n_rows - 1)
-    rs_dn = jnp.maximum(rs - 1, 0)
-    base_up = jnp.where(up_valid[:, None], tcol_start[rs_up], _INVALID)
-    base_mid = tcol_start + A[1:n_rows + 1]                       # + cnt[r-1]
-    base_dn = jnp.where(dn_valid[:, None],
-                        tcol_start[rs_dn] + A[:n_rows] + A[1:n_rows + 1],
-                        _INVALID)                                  # + cnt[r-2] + cnt[r-1]
-    wlo = tcol_start[:, jnp.maximum(jnp.arange(m) - 1, 0)]
-    whi = tcol_end[:, jnp.minimum(jnp.arange(m) + 1, m - 1)]
-    cstart_grid = cell_starts[:n_cells].reshape(n_rows, m)
-    row_start_f = cell_starts[rs * m][:, None] + jnp.zeros((1, m), jnp.int32)
-    T = jnp.stack([wlo, whi, base_up, base_mid, base_dn,
-                   cstart_grid, row_start_f, fcnt], axis=-1).reshape(n_cells, 8)
-    T = jnp.concatenate([T, jnp.full((1, 8), _INVALID, jnp.int32)], axis=0)
+    # ---- per-cell window table T -----------------------------------------
+    cols = jnp.arange(m)
+    seg_of_row = jnp.arange(n_rows, dtype=jnp.int32) // seg_q
+    tcs_r = tcol_start[seg_of_row]                          # (n_rows, m)
+    segcnt_r = segcnt[seg_of_row]
+    wlo = tcs_r[:, jnp.maximum(cols - 1, 0)]
+    chi = jnp.minimum(cols + 1, m - 1)
+    whi = tcs_r[:, chi] + segcnt_r[:, chi]
+    T = jnp.stack([wlo, whi], axis=-1).reshape(n_cells, 2)
+    T = jnp.concatenate([T, jnp.zeros((n_cells, 6), jnp.int32)], axis=1)
+    T = jnp.concatenate([T, jnp.zeros((1, 8), jnp.int32)], axis=0)
 
-    # ---- fluid scatter: 3 destinations per sorted particle ----------------
-    j = jnp.arange(spec.n_layout, dtype=jnp.int32)
-    Tj = T[jnp.minimum(sk, n_cells)]                 # (n_layout, 8) row gather
-    k_cell = j - Tj[:, 5]                            # rank within cell
-    k_row = j - Tj[:, 6]                             # rank within row
-    real = sk < n_cells
-    in_layout = real & (k_row < rowcap)
-    row_of = sk // m
-    layout_slot = row_of * rowcap + k_row            # gather-source index
+    # ---- run table: trip_src via scatter-max + cummax + one row gather ----
+    # runs per segment: m columns x cover rows x {fluid, boundary}, then one
+    # pad run; construction order == slot order
+    j_ids = jnp.arange(cover * 2)
+    rt = lo_row[:, None, None] + (j_ids // 2)[None, None, :]   # (n_seg, 1, cover*2)
+    rt_ok = rt <= hi_row[:, None, None]
+    rt_c = jnp.minimum(rt, n_rows - 1)
+    is_b = (j_ids % 2)[None, None, :] == 1
+    cell_idx = rt_c * m + cols[None, :, None]                  # (n_seg, m, cover*2)
+    lens = jnp.where(rt_ok,
+                     jnp.where(is_b, bcnt.reshape(-1)[cell_idx],
+                               fcnt.reshape(-1)[cell_idx]), 0)
+    src0_f = rstart[:n_rows][rt_c] + (cell_starts[:n_cells].reshape(-1)[cell_idx]
+                                      - row_start_sorted[rt_c])
+    src0_b = spec.n_layout + b_cell_starts[:n_cells].reshape(-1)[cell_idx]
+    src0 = jnp.where(is_b, src0_b, src0_f)
+    # slot0: tripcol base + exclusive prefix of lens within the tripcol
+    pref = jnp.cumsum(lens, axis=2, dtype=jnp.int32) - lens
+    slot0 = tcol_start[:, :, None] + pref
+    delta = jnp.where(lens > 0, src0 - slot0, (1 << 29))       # empty: inert via clamp
+    # pad run per segment (covers guard lanes to the next segment start)
+    pad_slot0 = (seg_start + seg_len)[:, None]
+    pad_delta = jnp.full((n_seg, 1), 1 << 29, jnp.int32)
+    slot0 = jnp.concatenate([slot0.reshape(n_seg, -1), pad_slot0], axis=1).reshape(-1)
+    delta = jnp.concatenate([delta.reshape(n_seg, -1), pad_delta], axis=1).reshape(-1)
 
-    L = spec.L
-    oob = jnp.int32(L)                               # mode='drop' sink
-    def fdst(base):
-        ok = in_layout & (base >= 0)
-        return jnp.where(ok, base + k_cell, oob)
+    run_ids = jnp.arange(spec.n_runs, dtype=jnp.int32)
+    seed_r = jnp.zeros((spec.L,), jnp.int32).at[slot0].max(run_ids, mode="drop")
+    run_of = jax.lax.cummax(seed_r)
+    D = jnp.stack([delta] + [jnp.zeros_like(delta)] * 7, axis=1)  # (n_runs, 8)
+    t_trip = jnp.arange(spec.L, dtype=jnp.int32)
+    trip_src = jnp.minimum(t_trip + D[run_of][:, 0], spec.n_src - 1)
 
-    trip_src = jnp.full((L,), spec.n_src - 1, jnp.int32)  # default: inert row
-    for base in (Tj[:, 2], Tj[:, 3], Tj[:, 4]):
-        trip_src = trip_src.at[fdst(base)].set(
-            layout_slot, mode="drop", unique_indices=True)
+    return layout_src, trip_src, T
 
-    # ---- boundary scatter (static cells, but offsets move with fcnt) ------
-    jb = jnp.arange(nb, dtype=jnp.int32)
-    Tb = T[b_keys_sorted]
-    kb = jb - b_cell_starts[b_keys_sorted]
-    src_b = spec.n_layout + jb
-    for base in (Tb[:, 2], Tb[:, 3], Tb[:, 4]):
-        dst = jnp.where(base >= 0, base + Tb[:, 7] + kb, oob)
-        trip_src = trip_src.at[dst].set(src_b, mode="drop", unique_indices=True)
 
-    # ---- per-(tile, block) candidate windows ------------------------------
-    cells_b = cells_layout.reshape(n_tiles * nqb, qb)
-    valid_b = cells_b < n_cells                      # valid slots are a prefix
+def block_windows(spec: TripleSpec, cfg: SPHConfig, cells: jnp.ndarray,
+                  T: jnp.ndarray):
+    """Per-(tile, block) candidate windows from layout-order cell ids.
+
+    Blocks never straddle rows (row capacities are qb-quantized), and cells
+    are non-decreasing within a row, so a block's query cells are
+    [cells[first], max over valid slots].
+    """
+    n_cells = cfg.n_cells
+    nqb, qb, cap = spec.nqb, spec.qb, spec.cap
+    n_tiles = spec.n_tiles
+    cells_b = cells.reshape(n_tiles * nqb, qb)
+    valid_b = cells_b < n_cells
     c_first = cells_b[:, 0]
     c_last = jnp.max(jnp.where(valid_b, cells_b, -1), axis=1)
     has_q = c_last >= 0
-    T_lo = T[jnp.where(has_q, c_first, n_cells)]     # row gathers (12k-count)
+    T_lo = T[jnp.where(has_q, c_first, n_cells)]
     T_hi = T[jnp.where(has_q, c_last, n_cells)]
     w_start = jnp.where(has_q, T_lo[:, 0], 0).astype(jnp.int32)
     w_len = jnp.where(has_q, T_hi[:, 1] - T_lo[:, 0], 0).astype(jnp.int32)
     extra = w_start % LANE
     overflow = jnp.sum(jnp.maximum(extra + w_len - cap, 0)).astype(jnp.int32)
-    return TripleCtx(trip_src=trip_src,
-                     w_start=w_start.reshape(n_tiles, nqb),
-                     w_len=w_len.reshape(n_tiles, nqb),
-                     overflow=overflow)
-
-
-def gather_trip(src_all: jnp.ndarray, trip_src: jnp.ndarray) -> jnp.ndarray:
-    """(n_src, 8) gather-source -> (8, L) triple candidate array.
-
-    Row gather + narrow transpose; both measured near memory speed on TPU,
-    unlike per-element gathers.
-    """
-    return src_all[trip_src].T
+    return w_start.reshape(n_tiles, nqb), w_len.reshape(n_tiles, nqb), overflow

@@ -63,31 +63,31 @@ def _unnorm_wref(cfg: SPHConfig) -> float:
     return float(artificial_pressure_ref_w(cfg)) / float(cfg.kernel_norm)
 
 
-def _start_windows(spec, trip_hbm, stage, sem, get_start, slot):
+def _start_windows(spec, streams, get_start, slot):
     for b in range(spec.nqb):
         a = _aligned(get_start(b))
+        for hbm, stage, sem in streams:
+            def _go(a=a, b=b, hbm=hbm, stage=stage, sem=sem):
+                pltpu.make_async_copy(
+                    hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
+                ).start()
 
-        def _go(a=a, b=b):
-            pltpu.make_async_copy(
-                trip_hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
-            ).start()
-
-        _go()
+            _go()
 
 
-def _wait_windows(spec, trip_hbm, stage, sem, get_start, slot):
+def _wait_windows(spec, streams, get_start, slot):
     for b in range(spec.nqb):
         a = _aligned(get_start(b))
+        for hbm, stage, sem in streams:
+            def _wait(a=a, b=b, hbm=hbm, stage=stage, sem=sem):
+                pltpu.make_async_copy(
+                    hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
+                ).wait()
 
-        def _wait(a=a, b=b):
-            pltpu.make_async_copy(
-                trip_hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
-            ).wait()
-
-        _wait()
+            _wait()
 
 
-def _doublebuffer(spec, interpret, n_tiles, i, ib, trip_hbm, stage, sem,
+def _doublebuffer(spec, interpret, n_tiles, i, ib, streams,
                   w_start, w_start_n):
     """Cross-tile double buffering (same scheme as round 1): tile 0 fetches
     its own windows, every tile prefetches tile i+1's, all unconditional."""
@@ -95,18 +95,18 @@ def _doublebuffer(spec, interpret, n_tiles, i, ib, trip_hbm, stage, sem,
     nxt = lambda b: jnp.where(ib == 7, w_start_n[0, b],
                               w_start[jnp.minimum(ib + 1, 7), b])
     if interpret:
-        _start_windows(spec, trip_hbm, stage, sem, cur, 0)
+        _start_windows(spec, streams, cur, 0)
         return 0, cur
 
     slot = i % 2
 
     @pl.when(i == 0)
     def _():
-        _start_windows(spec, trip_hbm, stage, sem, cur, slot)
+        _start_windows(spec, streams, cur, slot)
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        _start_windows(spec, trip_hbm, stage, sem, nxt, (i + 1) % 2)
+        _start_windows(spec, streams, nxt, (i + 1) % 2)
 
     return slot, cur
 
@@ -139,9 +139,10 @@ def _density_kernel(
     i = pl.program_id(0)
     ib = i % 8
     qb = spec.qb
+    streams = [(trip_hbm, stage, sem)]
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
-                              trip_hbm, stage, sem, w_start, w_start_n)
-    _wait_windows(spec, trip_hbm, stage, sem, cur, slot)
+                              streams, w_start, w_start_n)
+    _wait_windows(spec, streams, cur, slot)
 
     norm = jnp.float32(cfg.kernel_norm)
     inv_h = jnp.float32(1.0) / jnp.float32(cfg.h)
@@ -208,10 +209,11 @@ def _forces_kernel(
     w_start, w_start_n,
     g_ref,                                # (8, 2) SMEM gravity
     q_ref,                                # (tq, 8)
-    d_ref,                                # (tq, 4) density output
-    trip_hbm,                             # (8, L)
+    d_ref,                                # (tq, 4) rho, p, cpress, rhoeff
+    geo_hbm,                              # (8, L) x, y, u, v, m~, -, -, -
+    rp_hbm,                               # (4, L) cpress, rhoeff, 0, 0
     out_ref,                              # (tq, 2): du_dt, dv_dt
-    stage, sem,
+    stage, stage_rp, sem, sem_rp,
     *, cfg: SPHConfig, spec: TripleSpec, n_tiles: int, interpret: bool,
 ):
     gx = g_ref[0, 0]
@@ -219,9 +221,10 @@ def _forces_kernel(
     i = pl.program_id(0)
     ib = i % 8
     qb = spec.qb
+    streams = [(geo_hbm, stage, sem), (rp_hbm, stage_rp, sem_rp)]
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
-                              trip_hbm, stage, sem, w_start, w_start_n)
-    _wait_windows(spec, trip_hbm, stage, sem, cur, slot)
+                              streams, w_start, w_start_n)
+    _wait_windows(spec, streams, cur, slot)
 
     h = jnp.float32(cfg.h)
     inv_h = jnp.float32(1.0) / h
@@ -261,9 +264,8 @@ def _forces_kernel(
             cu = stage[slot, b, U, lo:lo + LANE].reshape(1, LANE)
             cv = stage[slot, b, V, lo:lo + LANE].reshape(1, LANE)
             cm = stage[slot, b, M, lo:lo + LANE].reshape(1, LANE)
-            caj = stage[slot, b, AJ, lo:lo + LANE].reshape(1, LANE)
-            ccp = stage[slot, b, CP, lo:lo + LANE].reshape(1, LANE)
-            cre = stage[slot, b, RE, lo:lo + LANE].reshape(1, LANE)
+            ccp = stage_rp[slot, b, 0, lo:lo + LANE].reshape(1, LANE)
+            cre = stage_rp[slot, b, 1, lo:lo + LANE].reshape(1, LANE)
 
             dx = qx - cx
             dy = qy - cy
@@ -282,11 +284,13 @@ def _forces_kernel(
             ap = w_un * inv_wref
             ap2 = ap * ap
             artif = k_ap * (ap2 * ap2)
-            # Monaghan viscosity (`pi_sph_fluid.c:328-334`): denominator
-            # a_j*rho_i + rho_eff_j = pair mean (fluid) or rho_i (boundary)
+            # Monaghan viscosity (`pi_sph_fluid.c:328-334`): pair-mean
+            # density denominator for fluid (rho_eff_j = rho_j/2 > 0),
+            # fluid-only rho for boundary (rho_eff_j = 0,
+            # `pi_sph_fluid.c:362`)
             xy_uv = dx * du + dy * dv
             mu = (h * xy_uv) / (r2 + eps_h2)
-            denom = caj * q_rho + cre
+            denom = jnp.where(cre > 0.0, 0.5 * q_rho + cre, q_rho)
             visc = jnp.where((xy_uv < 0.0) & (denom > 0.0),
                              neg_alpha_c * mu / denom, 0.0)
             coef = cm * (press + artif + visc) * t13
@@ -300,7 +304,7 @@ def _forces_kernel(
         out_ref[qlo:qlo + qb, 1:2] = jnp.where(q_valid, gy + gfac * sy, 0.0)
 
 
-def forces_window_call(q_packed, dens_out, trip, ctx_start, g,
+def forces_window_call(q_packed, dens_out, geo, rp, ctx_start, g,
                        cfg: SPHConfig, spec: TripleSpec, interpret: bool = False):
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
@@ -309,16 +313,19 @@ def forces_window_call(q_packed, dens_out, trip, ctx_start, g,
         grid=(n_tiles,),
         in_specs=[
             here, ahead,
-            # gravity as (8, 2) SMEM: (1, 2) blocks intermittently read
+            # gravity as (8, 2) SMEM: a (1, 2) block intermittently read
             # garbage on v5e (round-1 finding)
             pl.BlockSpec((8, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((spec.tq, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((spec.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, spec.nqb, NFIELDS, spec.cap), jnp.float32),
+            pltpu.VMEM((2, spec.nqb, 4, spec.cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, spec.nqb)),
             pltpu.SemaphoreType.DMA((2, spec.nqb)),
         ],
     )
@@ -330,4 +337,4 @@ def forces_window_call(q_packed, dens_out, trip, ctx_start, g,
         out_shape=jax.ShapeDtypeStruct((spec.n_layout, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws, ws, g2, q_packed, dens_out, trip)
+    )(ws, ws, g2, q_packed, dens_out, geo, rp)

@@ -11,7 +11,6 @@ import numpy as np
 
 import pi_sph_fluid_tpu as sph
 from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
-from pi_sph_fluid_tpu.models.engine_pallas import PallasDims, PallasEngine
 
 
 def timeit(fn, *args, reps=10, warmup=2):
@@ -28,12 +27,13 @@ def timeit(fn, *args, reps=10, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
-    ap.add_argument("--tq", type=int, default=128)
+    ap.add_argument("--tq", type=int, default=256)
     ap.add_argument("--qb", type=int, default=16)
     ap.add_argument("--cap", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--resort", type=int, default=4)
-    ap.add_argument("--compare-v1", action="store_true")
+    ap.add_argument("--seg-q", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--resorts", type=str, default="1,4")
+    ap.add_argument("--pieces", action="store_true")
     args = ap.parse_args()
 
     r = math.sqrt(6.35 / args.n)
@@ -42,41 +42,24 @@ def main():
     boundary, bgrid = sph.prepare_boundary(braw, cfg)
     g = jnp.asarray((0.0, -9.81), jnp.float32)
 
-    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, tq=args.tq, qb=args.qb, cap=args.cap)
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, tq=args.tq, qb=args.qb,
+                       cap=args.cap, seg_q=args.seg_q)
     print(f"n={fluid.n} n_layout={eng.spec.n_layout} L={eng.spec.L} "
-          f"rowcap={eng.spec.rowcap} tiles={eng.spec.n_tiles}")
+          f"tiles={eng.spec.n_tiles}")
     sim = eng.prime(fluid, (0.0, -9.81))
     jax.block_until_ready(sim.packed)
 
-    # sanity vs v1 engine: same rho after one fresh relayout+passes
-    if args.compare_v1:
-        eng1 = PallasEngine(cfg, boundary, bgrid, fluid.n, PallasDims())
-        sim1 = eng1.prime(fluid, (0.0, -9.81))
-        f3 = eng.unpad(sim)
-        f1 = eng1.unpad(sim1)
-        dr = np.max(np.abs(np.asarray(f3.rho) - np.asarray(f1.rho)) / np.asarray(f1.rho))
-        da = np.max(np.abs(np.asarray(sim.au)[np.asarray(sim.ids) >= 0]))
-        print(f"prime rho max rel err vs v1: {dr:.3e}  (|au| max {da:.2f})")
+    if args.pieces:
+        rel = jax.jit(eng._relayout)
+        print(f"relayout:   {timeit(lambda pk: rel(pk)[0], sim.packed):7.3f} ms")
+        pk2, ctx, ovf = rel(sim.packed)
+        print(f"overflow:   {int(ovf)}")
+        pp = jax.jit(lambda pk, ctx: eng._pair_passes(pk, ctx, g))
+        print(f"pair passes:{timeit(lambda: pp(pk2, ctx)[0]):7.3f} ms")
+        step = jax.jit(eng.make_step())
+        print(f"full step:  {timeit(lambda s: step(s, g)[0].packed, sim):7.3f} ms")
 
-    # piece timings
-    rel = jax.jit(lambda pk: eng._relayout(pk)[0])
-    print(f"relayout:   {timeit(rel, sim.packed):7.3f} ms")
-    pk2, ctx, ovf = jax.jit(eng._relayout)(sim.packed)
-    print(f"overflow:   {int(ovf)}")
-    trip = jax.jit(lambda pk: eng._geo_src(pk)[ctx.trip_src].T)(pk2)
-    f_gather = jax.jit(lambda pk: eng._geo_src(pk)[ctx.trip_src].T)
-    print(f"trip gathr: {timeit(f_gather, pk2):7.3f} ms")
-    from pi_sph_fluid_tpu.ops.pallas.window_kernels import density_window_call, forces_window_call
-    f_dens = jax.jit(lambda q, t: density_window_call(q, t, ctx.w_start, cfg, eng.spec))
-    print(f"density:    {timeit(f_dens, pk2, trip):7.3f} ms")
-    dens = f_dens(pk2, trip)
-    f_forc = jax.jit(lambda q, d, t: forces_window_call(q, d, t, ctx.w_start, g, cfg, eng.spec))
-    print(f"forces:     {timeit(f_forc, pk2, dens, trip):7.3f} ms")
-    step = jax.jit(eng.make_step())
-    print(f"full step:  {timeit(lambda s: step(s, g)[0].packed, sim, reps=10):7.3f} ms")
-
-    # multi-step throughput
-    for resort in (1, args.resort):
+    for resort in (int(x) for x in args.resorts.split(",")):
         multi = jax.jit(eng.make_multi_step(resort_every=resort))
         gt = jnp.broadcast_to(g, (args.steps, 2))
         sim2, st = multi(sim, gt)

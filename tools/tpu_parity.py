@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Hardware parity: v3 engine on the real TPU vs the jnp oracle (also on TPU).
+
+The round-1 DMA-semaphore bug only manifested on hardware — interpret-mode
+tests can't catch that class.  Runs the drop scene 100 steps on both paths.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pi_sph_fluid_tpu.config import SPHConfig
+from pi_sph_fluid_tpu.models.boundary import prepare_boundary
+from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
+from pi_sph_fluid_tpu.models.scene import build_drop_scene
+from pi_sph_fluid_tpu.models.simulation import make_multi_step, prime
+
+G = (0.0, -9.81)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--qb", type=int, default=16)
+    ap.add_argument("--cap", type=int, default=384)
+    ap.add_argument("--seg-q", type=int, default=3)
+    args = ap.parse_args()
+
+    cfg = SPHConfig()
+    fluid, braw = build_drop_scene(cfg)
+    boundary, bgrid = prepare_boundary(braw, cfg)
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, tq=256, qb=args.qb,
+                       cap=args.cap, seg_q=args.seg_q)
+    print(f"n={fluid.n} spec={eng.spec}")
+
+    psim = eng.prime(fluid, G)
+    osim = prime(fluid, boundary, bgrid, G, cfg)
+
+    pf = eng.unpad(psim)
+    oinv = np.argsort(np.asarray(osim.ids))
+    orho = np.asarray(osim.fluid.rho)[oinv]
+    drho = np.max(np.abs(np.asarray(pf.rho) - orho) / orho)
+    print(f"prime rho max rel err: {drho:.3e}")
+    assert drho < 1e-6
+
+    gt = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (args.steps, 2))
+    pmulti = jax.jit(eng.make_multi_step())
+    omulti = jax.jit(make_multi_step(cfg, boundary, bgrid))
+    psim, pst = pmulti(psim, gt)
+    osim, _ = omulti(osim, gt)
+    pf = eng.unpad(psim)
+    oinv = np.argsort(np.asarray(osim.ids))
+    for f in ("x", "y", "u", "v"):
+        pv = np.asarray(getattr(pf, f))
+        ov = np.asarray(getattr(osim.fluid, f))[oinv]
+        print(f"{f} max abs err @%d: %.3e" % (args.steps, np.max(np.abs(pv - ov))))
+    print("overflow:", int(jnp.max(pst.neighbor_overflow)))
+    np.testing.assert_allclose(np.asarray(pf.x),
+                               np.asarray(osim.fluid.x)[oinv], atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pf.u),
+                               np.asarray(osim.fluid.u)[oinv], atol=2e-4)
+    assert int(jnp.max(pst.neighbor_overflow)) == 0
+    print("TPU PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
