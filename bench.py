@@ -1,65 +1,93 @@
 #!/usr/bin/env python3
 """Headline benchmark: WCSPH particle-steps/second on one chip.
 
-Runs the dam-break scene (BASELINE.json config 4) through the Pallas engine,
-free-running (REALTIME off, `pi_sph_fluid.c:10`), whole steps resident in
-XLA via lax.scan.  Prints ONE JSON line:
+Runs the **pool scene** (settled steady state — the layout's sizing case;
+the dam-break differs only in initial shape) through the round-2 window
+engine, free-running (REALTIME off, `pi_sph_fluid.c:10`), whole steps
+resident in XLA via lax.scan.  Prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+value is the sticky-layout throughput (resort_every=4; pairs can only be
+missed in the outer 0.2*(k-1)*H shell of the support even at the C/10
+speed bound — engine_v3.make_multi_step); ``exact_ps_per_s`` is the
+resort-every-step number.  ``neighbor_overflow`` must read 0: window caps
+are sized so the flagship run loses no pairs.
 
 vs_baseline is against the reference's implied real-time throughput on a
 Raspberry Pi 4: 431 particles x 4102 enforced ticks/s ~= 1.77e6
-particle-steps/s (BASELINE.md).
+particle-steps/s (BASELINE.md).  ``smallN_ticks_per_s`` measures the
+reference's own operating point — the 269-particle drop scene
+(`pi_sph_fluid.c:484-543`) — against its enforced 4102 ticks/s.
 """
 
 import json
 import math
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 import pi_sph_fluid_tpu as sph
-from pi_sph_fluid_tpu.models.engine_pallas import PallasDims, PallasEngine
 from pi_sph_fluid_tpu.models.simulation import make_multi_step, prime
 
-BASELINE_PS = 431 * 4102  # reference implied particle-steps/s (BASELINE.md)
+BASELINE_PS = 431 * 4102   # reference implied particle-steps/s (BASELINE.md)
+REALTIME_TICKS = 4102      # reference enforced tick rate (pi_sph_fluid.c:694-701)
 
 
-def bench_pallas(target_n: int, steps: int) -> dict:
-    # pool scene: the settled steady state, which the row-padded layout is
-    # sized for (fill area ~ 0.94*width x 0.85*height = 6.35 m^2)
+def _run(multi, sim, g_trace):
+    sim2, st = multi(sim, g_trace)  # compile + warm
+    jax.block_until_ready(sim2.packed if hasattr(sim2, "packed") else sim2.fluid.x)
+    t0 = time.perf_counter()
+    sim2, st = multi(sim, g_trace)
+    jax.block_until_ready(sim2.packed if hasattr(sim2, "packed") else sim2.fluid.x)
+    return time.perf_counter() - t0, st
+
+
+def bench_window(target_n: int, steps: int) -> dict:
+    from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
+
     r = math.sqrt(6.35 / target_n)
     cfg = sph.SPHConfig(r=r)
     fluid, braw = sph.build_pool_scene(cfg)
     boundary, bgrid = sph.prepare_boundary(braw, cfg)
-    eng = PallasEngine(cfg, boundary, bgrid, fluid.n, PallasDims())
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n)
     sim = eng.prime(fluid, (0.0, -9.81))
-    # sticky layout: re-sort every 4th step (pairs can only be missed in the
-    # outer 0.2*(k-1)*H shell of the support even at the C/10 speed bound —
-    # see engine_pallas.make_multi_step)
-    multi = jax.jit(eng.make_multi_step(resort_every=4))
     g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps, 2))
-    sim, st = multi(sim, g)  # compile + warm
-    jax.block_until_ready(sim.packed)
-    t0 = time.perf_counter()
-    sim, st = multi(sim, g)
-    jax.block_until_ready(sim.packed)
-    wall = time.perf_counter() - t0
+
+    wall4, st4 = _run(jax.jit(eng.make_multi_step(resort_every=4)), sim, g)
+    wall1, st1 = _run(jax.jit(eng.make_multi_step(resort_every=1)), sim, g)
+
+    # the reference's own operating point: 269-particle drop, ticks/s vs the
+    # enforced 4102 (`pi_sph_fluid.c:694-701`); one K-step dispatch per
+    # display frame satisfies real-time by construction when ticks/s >= 4102
+    cfg_s = sph.SPHConfig()
+    fluid_s, braw_s = sph.build_drop_scene(cfg_s)
+    boundary_s, bgrid_s = sph.prepare_boundary(braw_s, cfg_s)
+    eng_s = WindowEngine(cfg_s, boundary_s, bgrid_s, fluid_s.n,
+                         tq=32, qb=8, cap=256, seg_q=2)
+    sim_s = eng_s.prime(fluid_s, (0.0, -9.81))
+    steps_s = 4096
+    g_s = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps_s, 2))
+    wall_s, _ = _run(jax.jit(eng_s.make_multi_step(resort_every=4)), sim_s, g_s)
+
     return {
         "n_fluid": fluid.n,
         "steps": steps,
-        "wall_s": wall,
-        "ps_per_s": fluid.n * steps / wall,
-        "max_rho_error_pct": float(jnp.max(st.max_rho_error_pct)),
-        "neighbor_overflow": int(jnp.max(st.neighbor_overflow)),
-        "backend": "pallas",
+        "wall_s": wall4,
+        "ps_per_s": fluid.n * steps / wall4,
+        "exact_ps_per_s": fluid.n * steps / wall1,
+        "scene": "pool",
+        "max_rho_error_pct": float(jnp.max(st4.max_rho_error_pct)),
+        "neighbor_overflow": int(jnp.max(st4.neighbor_overflow)),
+        "smallN_ticks_per_s": steps_s / wall_s,
+        "smallN_vs_realtime": (steps_s / wall_s) / REALTIME_TICKS,
+        "backend": "window-v2",
     }
 
 
 def bench_reference_cpu(target_n: int, steps: int) -> dict:
-    """Fallback when no TPU is present (jnp oracle path)."""
+    """Fallback when no TPU is present (jnp oracle path, dam-break scene)."""
     r = math.sqrt(2.56 / target_n)
     cfg = sph.SPHConfig(r=r)
     fluid, braw = sph.build_dam_break_scene(cfg)
@@ -67,17 +95,13 @@ def bench_reference_cpu(target_n: int, steps: int) -> dict:
     sim = prime(fluid, boundary, bgrid, (0.0, -9.81), cfg)
     multi = jax.jit(make_multi_step(cfg, boundary, bgrid))
     g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps, 2))
-    sim, st = multi(sim, g)
-    jax.block_until_ready(sim.fluid.x)
-    t0 = time.perf_counter()
-    sim, st = multi(sim, g)
-    jax.block_until_ready(sim.fluid.x)
-    wall = time.perf_counter() - t0
+    wall, st = _run(multi, sim, g)
     return {
         "n_fluid": fluid.n,
         "steps": steps,
         "wall_s": wall,
         "ps_per_s": fluid.n * steps / wall,
+        "scene": "dam-break",
         "max_rho_error_pct": float(jnp.max(st.max_rho_error_pct)),
         "neighbor_overflow": int(jnp.max(st.neighbor_overflow)),
         "backend": "reference-cpu",
@@ -87,7 +111,7 @@ def bench_reference_cpu(target_n: int, steps: int) -> dict:
 def main():
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
-        result = bench_pallas(target_n=100_000, steps=400)
+        result = bench_window(target_n=100_000, steps=400)
     else:
         result = bench_reference_cpu(target_n=10_000, steps=50)
 

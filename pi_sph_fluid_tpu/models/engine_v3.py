@@ -68,7 +68,7 @@ class WindowEngine:
         tq: int = 256,
         qb: int = 16,
         cap: int = 256,
-        seg_q: int = 3,
+        seg_q: int = 2,
         interpret: bool = False,
     ):
         self.cfg = cfg
@@ -86,7 +86,11 @@ class WindowEngine:
         zb = jnp.zeros_like(boundary.x)
         self.b_geo = jnp.stack(
             [boundary.x, boundary.y, zb, zb, boundary.m, zb, zb, zb], axis=1)
+        self.b_geo_d = jnp.stack(
+            [boundary.x, boundary.y, boundary.m, zb], axis=1)
         self.inert_row = jnp.asarray(_INERT_ROW)[None, :]
+        self.inert_row_d = jnp.asarray(
+            [[INERT_X, INERT_X, 0.0, 0.0]], dtype=jnp.float32)
 
     # ------------------------------------------------------------------
     @property
@@ -120,35 +124,47 @@ class WindowEngine:
         return packed_new, ctx, overflow
 
     # ------------------------------------------------------------------
-    def _eos(self, rho):
+    def _eos(self, rho_col):
         """Tait EOS + per-particle p/rho^2 and rho/2 (`pi_sph_fluid.c:294-301`),
-        elementwise in XLA: (n_layout, 1) rho -> (n_layout, 4)."""
+        elementwise in XLA: (n_layout, 1) rho -> (n_layout, 4).
+
+        Computed on flat (n,) vectors: (n, 1) column shapes place one value
+        per 128-lane vector register on TPU (measured 0.86 ms for this
+        handful of elementwise ops at 100k)."""
         cfg = self.cfg
+        rho = rho_col[:, 0]
         ratio = rho * jnp.float32(1.0 / cfg.rho_0)
         r2 = ratio * ratio
         r4 = r2 * r2
         p = jnp.maximum(jnp.float32(cfg.tait_b) * (r4 * r2 * ratio - 1.0), 0.0)
         cpress = jnp.where(rho > 0.0, p / (rho * rho), 0.0)
-        return jnp.concatenate([rho, p, cpress, 0.5 * rho], axis=1)
+        return jnp.stack([rho, p, cpress, 0.5 * rho], axis=-1)
+
+    @staticmethod
+    def _dual(a):
+        """(k, L) -> (k, 2L): second plane shifted left 64 lanes, so windows
+        with alignment waste >= 64 fetch from it instead (see
+        triple.block_windows)."""
+        return jnp.concatenate(
+            [a, jnp.pad(a[:, 64:], ((0, 0), (0, 64)))], axis=1)
 
     def _pair_passes(self, packed, ctx: TripleCtx, g):
         cfg, spec = self.cfg, self.spec
-        # candidate geometry: the state itself is the gather source (the
-        # kernels only read rows 0-4: x, y, u, v, m~)
-        geo_src = jnp.concatenate([packed, self.b_geo, self.inert_row], axis=0)
-        geo = geo_src[ctx.trip_src].T                       # (8, L)
-        rho = density_window_call(packed, geo, ctx.w_start,
+        # density candidates: slim [x, y, m~] rows
+        zcol = jnp.zeros((spec.n_layout, 1), jnp.float32)
+        geo_d_src = jnp.concatenate([
+            jnp.concatenate([packed[:, 0:2], packed[:, 4:5], zcol], axis=1),
+            self.b_geo_d, self.inert_row_d], axis=0)
+        geo_d = self._dual(geo_d_src[ctx.trip_src].T)       # (4, 2L)
+        rho = density_window_call(packed, geo_d, ctx.w_start,
                                   cfg, spec, interpret=self.interpret)
         dens = self._eos(rho)
-        # fresh per-candidate c_press / rho_eff (cols 2:4 of dens), widened
-        # to 4 columns: narrow (L,2) row gathers are ~5x slower on v5e
-        nb1 = self.spec.n_src - self.spec.n_layout
-        rp_src = jnp.concatenate([
-            jnp.concatenate([dens[:, 2:4],
-                             jnp.zeros((spec.n_layout, 2), jnp.float32)], axis=1),
-            jnp.zeros((nb1, 4), jnp.float32)], axis=0)
-        rp = rp_src[ctx.trip_src].T                         # (4, L)
-        acc = forces_window_call(packed, dens, geo, rp, ctx.w_start,
+        # force candidates: geometry + fresh per-particle c_press/rho_eff
+        geo_f_src = jnp.concatenate([
+            jnp.concatenate([packed[:, 0:5], dens[:, 2:4], zcol], axis=1),
+            self.b_geo, self.inert_row], axis=0)
+        geo_f = self._dual(geo_f_src[ctx.trip_src].T)       # (8, 2L)
+        acc = forces_window_call(packed, dens, geo_f, ctx.w_start,
                                  g, cfg, spec, interpret=self.interpret)
         packed = jnp.concatenate([packed[:, :5], dens[:, 0:2], packed[:, 7:8]], axis=1)
         return packed, acc[:, 0], acc[:, 1]

@@ -192,33 +192,39 @@ def build_frame(
     tcol_start = seg_start[:, None] + (jnp.cumsum(segcnt, axis=1, dtype=jnp.int32) - segcnt)
 
     # ---- per-cell window table T -----------------------------------------
-    cols = jnp.arange(m)
+    # column +-1 shifts are pure slices (1-D element gathers are the slow
+    # path on TPU — every lookup here is a whole-row gather or a slice)
     seg_of_row = jnp.arange(n_rows, dtype=jnp.int32) // seg_q
     tcs_r = tcol_start[seg_of_row]                          # (n_rows, m)
-    segcnt_r = segcnt[seg_of_row]
-    wlo = tcs_r[:, jnp.maximum(cols - 1, 0)]
-    chi = jnp.minimum(cols + 1, m - 1)
-    whi = tcs_r[:, chi] + segcnt_r[:, chi]
+    tce_r = tcs_r + segcnt[seg_of_row]
+    wlo = jnp.concatenate([tcs_r[:, :1], tcs_r[:, :-1]], axis=1)
+    whi = jnp.concatenate([tce_r[:, 1:], tce_r[:, -1:]], axis=1)
     T = jnp.stack([wlo, whi], axis=-1).reshape(n_cells, 2)
     T = jnp.concatenate([T, jnp.zeros((n_cells, 6), jnp.int32)], axis=1)
     T = jnp.concatenate([T, jnp.zeros((1, 8), jnp.int32)], axis=0)
 
     # ---- run table: trip_src via scatter-max + cummax + one row gather ----
     # runs per segment: m columns x cover rows x {fluid, boundary}, then one
-    # pad run; construction order == slot order
+    # pad run; construction order == slot order.  All per-run quantities are
+    # built as (n_seg, cover*2, m) whole-row gathers of (n_rows, m) grids,
+    # then transposed — never per-element gathers.
     j_ids = jnp.arange(cover * 2)
-    rt = lo_row[:, None, None] + (j_ids // 2)[None, None, :]   # (n_seg, 1, cover*2)
-    rt_ok = rt <= hi_row[:, None, None]
-    rt_c = jnp.minimum(rt, n_rows - 1)
-    is_b = (j_ids % 2)[None, None, :] == 1
-    cell_idx = rt_c * m + cols[None, :, None]                  # (n_seg, m, cover*2)
-    lens = jnp.where(rt_ok,
-                     jnp.where(is_b, bcnt.reshape(-1)[cell_idx],
-                               fcnt.reshape(-1)[cell_idx]), 0)
-    src0_f = rstart[:n_rows][rt_c] + (cell_starts[:n_cells].reshape(-1)[cell_idx]
-                                      - row_start_sorted[rt_c])
-    src0_b = spec.n_layout + b_cell_starts[:n_cells].reshape(-1)[cell_idx]
-    src0 = jnp.where(is_b, src0_b, src0_f)
+    rt2 = lo_row[:, None] + (j_ids // 2)[None, :]              # (n_seg, cover*2)
+    rt2_ok = rt2 <= hi_row[:, None]
+    rt2_c = jnp.minimum(rt2, n_rows - 1)
+    is_b2 = ((j_ids % 2) == 1)[None, :]
+    cs_grid = cell_starts[:n_cells].reshape(n_rows, m)
+    bcs_grid = b_cell_starts[:n_cells].reshape(n_rows, m)
+    F = fcnt[rt2_c]                                            # (n_seg, cover*2, m)
+    Bc = bcnt[rt2_c]
+    CS = cs_grid[rt2_c]
+    BCS = bcs_grid[rt2_c]
+    lens3 = jnp.where(rt2_ok[:, :, None], jnp.where(is_b2[:, :, None], Bc, F), 0)
+    src0_f3 = (rstart[:n_rows][rt2_c] - row_start_sorted[rt2_c])[:, :, None] + CS
+    src0_b3 = spec.n_layout + BCS
+    src03 = jnp.where(is_b2[:, :, None], src0_b3, src0_f3)
+    lens = jnp.swapaxes(lens3, 1, 2)                           # (n_seg, m, cover*2)
+    src0 = jnp.swapaxes(src03, 1, 2)
     # slot0: tripcol base + exclusive prefix of lens within the tripcol
     pref = jnp.cumsum(lens, axis=2, dtype=jnp.int32) - lens
     slot0 = tcol_start[:, :, None] + pref
@@ -259,6 +265,13 @@ def block_windows(spec: TripleSpec, cfg: SPHConfig, cells: jnp.ndarray,
     T_hi = T[jnp.where(has_q, c_last, n_cells)]
     w_start = jnp.where(has_q, T_lo[:, 0], 0).astype(jnp.int32)
     w_len = jnp.where(has_q, T_hi[:, 1] - T_lo[:, 0], 0).astype(jnp.int32)
+    # dual-plane fetch encoding: candidate arrays are (k, 2L) with the
+    # second half shifted left by 64 lanes, so a window whose 128-alignment
+    # waste would be >= 64 fetches from the shifted plane instead — the
+    # effective alignment waste is always < 64 lanes
     extra = w_start % LANE
-    overflow = jnp.sum(jnp.maximum(extra + w_len - cap, 0)).astype(jnp.int32)
-    return w_start.reshape(n_tiles, nqb), w_len.reshape(n_tiles, nqb), overflow
+    use_hi = extra >= 64
+    fetch = jnp.where(use_hi, spec.L + w_start - extra, w_start - extra)
+    extra_eff = extra - jnp.where(use_hi, 64, 0)
+    overflow = jnp.sum(jnp.maximum(extra_eff + w_len - cap, 0)).astype(jnp.int32)
+    return fetch.reshape(n_tiles, nqb), w_len.reshape(n_tiles, nqb), overflow

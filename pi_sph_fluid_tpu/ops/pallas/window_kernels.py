@@ -2,33 +2,38 @@
 
 Round-2 replacements for pair_kernels.py's whole-tile span kernels.  Each
 TQ-query tile is processed as NQB static blocks of QB queries; every block
-fetches exactly one contiguous candidate window from the (8, L) triple array
-(ops/pallas/triple.py) with one DMA, and runs **fully static** pair math:
-CAP/128 unrolled chunks with compile-time lane offsets.  On-chip probing
-(tools/kern_probe.py) showed DMA issue/wait is nearly free while dynamic
-fori_loop bounds + SMEM scalar reads + dynamic VMEM slices cost ~1.4 ms per
-kernel pass at 100k particles — so the only dynamic quantity left in the
-kernel is each block's DMA source offset.
+fetches exactly one contiguous candidate window with one DMA and runs
+**fully static** pair math: CAP/128 unrolled chunks with compile-time lane
+offsets.  On-chip probing (tools/kern_probe.py) showed DMA issue/wait is
+nearly free while dynamic fori_loop bounds + SMEM scalar reads + dynamic
+VMEM slices cost ~1.4 ms per kernel pass at 100k particles — so the only
+dynamic quantity left in the kernel is each block's DMA source offset.
+
+The candidate arrays arrive **dual-plane**: the (k, 2L) array holds the
+gathered candidates in [:, :L] and the same data shifted left by 64 lanes
+in [:, L:].  Window starts are pre-encoded by triple.block_windows as
+128-aligned fetch offsets into whichever plane puts the true window start
+within 64 lanes of the fetch start — halving the average alignment waste
+that would otherwise force an extra 128-lane chunk per block.
 
 No per-lane masks and no length bookkeeping: a lane outside the true window
-is a real particle >= 1 whole cell away in x, an inert segment pad
-(x = -1e6), or — for empty windows — stale stage data against inert pad
-queries; in every case the Wendland support clamp t1 = max(1 - q/2, 0)
-and the pad queries' own x = -1e6 annihilate the contribution.  Self-pairs
-need no exclusion: the density self-term IS the reference's explicit
-m*W(0) (`pi_sph_fluid.c:274-275`), and force self-terms vanish (dx=dy=0).
+is a real particle >= 1 whole cell away (or >= 2 rows), an inert segment pad
+(x = -1e6), or stale stage data against inert pad queries; in every case
+the Wendland support clamp t1 = max(1 - q/2, 0) and the pad queries' own
+x = -1e6 annihilate the contribution.  Self-pairs need no exclusion: the
+density self-term IS the reference's explicit m*W(0)
+(`pi_sph_fluid.c:274-275`), and force self-terms vanish (dx = dy = 0).
 
 Physics matches the reference pass-for-pass:
   density + Tait EOS           `pi_sph_fluid.c:263-301`
   symmetric pressure + Macklin artificial pressure + Monaghan viscosity
                                `pi_sph_fluid.c:303-373`
 with the boundary asymmetries (fluid-only pressure, fluid-rho viscosity
-denominator, `pi_sph_fluid.c:350,362`) folded into the per-candidate
-constants a_j / rho_eff_j / c_press_j (see triple.py row order).
-
-The p_j/rho_j^2 factor is computed once per particle in the density kernel
-(output cols 2-3) instead of once per pair lane — the round-1 kernels paid
-a divide per lane for it.
+denominator, `pi_sph_fluid.c:350,362`) folded into the per-candidate values
+c_press_j (p/rho^2 fluid, 0 boundary) and rho_eff_j (rho/2 fluid, 0
+boundary); both are computed once per particle, not once per pair lane.
+The two viscosity divides fuse into one: mu/denom = h*xy_uv /
+((r^2 + eps*h^2) * denom).
 """
 
 from __future__ import annotations
@@ -45,16 +50,12 @@ from ...core.pair_terms import artificial_pressure_ref_w
 from .triple import TripleSpec
 
 X, Y, U, V, M = range(5)
-AJ, CP, RE = 5, 6, 7
+CP, RE = 5, 6
+DX, DY, DM = 0, 1, 2     # slim density-array rows
 NFIELDS = 8
 LANE = 128
 
 __all__ = ["density_window_call", "forces_window_call"]
-
-
-def _aligned(start):
-    """128-lane aligned DMA start; leading lanes are support-killed."""
-    return pl.multiple_of((start // LANE) * LANE, LANE)
 
 
 def _unnorm_wref(cfg: SPHConfig) -> float:
@@ -63,50 +64,51 @@ def _unnorm_wref(cfg: SPHConfig) -> float:
     return float(artificial_pressure_ref_w(cfg)) / float(cfg.kernel_norm)
 
 
-def _start_windows(spec, streams, get_start, slot):
+def _start_windows(spec, hbm, stage, sem, get_start, slot):
     for b in range(spec.nqb):
-        a = _aligned(get_start(b))
-        for hbm, stage, sem in streams:
-            def _go(a=a, b=b, hbm=hbm, stage=stage, sem=sem):
-                pltpu.make_async_copy(
-                    hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
-                ).start()
+        a = pl.multiple_of(get_start(b), LANE)   # pre-aligned by block_windows
 
-            _go()
+        def _go(a=a, b=b):
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
+            ).start()
+
+        _go()
 
 
-def _wait_windows(spec, streams, get_start, slot):
+def _wait_windows(spec, hbm, stage, sem, get_start, slot):
     for b in range(spec.nqb):
-        a = _aligned(get_start(b))
-        for hbm, stage, sem in streams:
-            def _wait(a=a, b=b, hbm=hbm, stage=stage, sem=sem):
-                pltpu.make_async_copy(
-                    hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
-                ).wait()
+        a = pl.multiple_of(get_start(b), LANE)
 
-            _wait()
+        def _wait(a=a, b=b):
+            pltpu.make_async_copy(
+                hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
+            ).wait()
+
+        _wait()
 
 
-def _doublebuffer(spec, interpret, n_tiles, i, ib, streams,
+def _doublebuffer(spec, interpret, n_tiles, i, ib, hbm, stage, sem,
                   w_start, w_start_n):
-    """Cross-tile double buffering (same scheme as round 1): tile 0 fetches
-    its own windows, every tile prefetches tile i+1's, all unconditional."""
+    """Cross-tile double buffering: tile 0 fetches its own windows, every
+    tile prefetches tile i+1's, all unconditional (predicated start/wait
+    pairs unbalance DMA semaphores — the round-1 hardware NaN bug)."""
     cur = lambda b: w_start[ib, b]
     nxt = lambda b: jnp.where(ib == 7, w_start_n[0, b],
                               w_start[jnp.minimum(ib + 1, 7), b])
     if interpret:
-        _start_windows(spec, streams, cur, 0)
+        _start_windows(spec, hbm, stage, sem, cur, 0)
         return 0, cur
 
     slot = i % 2
 
     @pl.when(i == 0)
     def _():
-        _start_windows(spec, streams, cur, slot)
+        _start_windows(spec, hbm, stage, sem, cur, slot)
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        _start_windows(spec, streams, nxt, (i + 1) % 2)
+        _start_windows(spec, hbm, stage, sem, nxt, (i + 1) % 2)
 
     return slot, cur
 
@@ -124,14 +126,14 @@ def _span_specs(spec):
 
 
 # ---------------------------------------------------------------------------
-# density + EOS
+# density
 # ---------------------------------------------------------------------------
 
 
 def _density_kernel(
     w_start, w_start_n,                   # (8, nqb) SMEM blocks (+ next-block)
     q_ref,                                # (tq, 8) queries
-    trip_hbm,                             # (8, L) candidates
+    geo_hbm,                              # (4, 2L) x, y, m~, 0 (dual-plane)
     out_ref,                              # (tq, 1): rho
     stage, sem,
     *, cfg: SPHConfig, spec: TripleSpec, n_tiles: int, interpret: bool,
@@ -139,16 +141,16 @@ def _density_kernel(
     i = pl.program_id(0)
     ib = i % 8
     qb = spec.qb
-    streams = [(trip_hbm, stage, sem)]
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
-                              streams, w_start, w_start_n)
-    _wait_windows(spec, streams, cur, slot)
+                              geo_hbm, stage, sem, w_start, w_start_n)
+    _wait_windows(spec, geo_hbm, stage, sem, cur, slot)
 
     norm = jnp.float32(cfg.kernel_norm)
-    inv_h = jnp.float32(1.0) / jnp.float32(cfg.h)
+    two_inv_h = jnp.float32(2.0) / jnp.float32(cfg.h)
+    half_inv_h = jnp.float32(0.5) / jnp.float32(cfg.h)
 
     # hoist query columns once per tile ((tq,1) extractions are sublane
-    # relayouts; per-block (qb,1) extractions cost the same EACH)
+    # relayouts; per-block (qb,1) extractions would cost the same EACH)
     qx_t = q_ref[:, X].reshape(spec.tq, 1)
     qy_t = q_ref[:, Y].reshape(spec.tq, 1)
 
@@ -159,20 +161,20 @@ def _density_kernel(
         acc = jnp.zeros((qb, LANE), jnp.float32)
         for c in range(spec.cap // LANE):
             lo = c * LANE
-            cx = stage[slot, b, X, lo:lo + LANE].reshape(1, LANE)
-            cy = stage[slot, b, Y, lo:lo + LANE].reshape(1, LANE)
-            cm = stage[slot, b, M, lo:lo + LANE].reshape(1, LANE)
+            cx = stage[slot, b, DX, lo:lo + LANE].reshape(1, LANE)
+            cy = stage[slot, b, DY, lo:lo + LANE].reshape(1, LANE)
+            cm = stage[slot, b, DM, lo:lo + LANE].reshape(1, LANE)
             dx = qx - cx
             dy = qy - cy
-            q = jnp.sqrt(dx * dx + dy * dy) * inv_h
-            t1 = jnp.maximum(1.0 - 0.5 * q, 0.0)   # support clamp == q<2 mask
+            r = jnp.sqrt(dx * dx + dy * dy)
+            t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)  # support clamp == q<2
             t1sq = t1 * t1
-            acc = acc + (cm * (t1sq * t1sq)) * (1.0 + 2.0 * q)
+            acc = acc + (cm * (t1sq * t1sq)) * (1.0 + two_inv_h * r)
         # self term included; Tait EOS + p/rho^2 run in XLA on the output
         out_ref[qlo:qlo + qb, 0:1] = norm * jnp.sum(acc, axis=1, keepdims=True)
 
 
-def density_window_call(q_packed, trip, ctx_start, cfg: SPHConfig,
+def density_window_call(q_packed, geo_d, ctx_start, cfg: SPHConfig,
                         spec: TripleSpec, interpret: bool = False):
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
@@ -186,7 +188,7 @@ def density_window_call(q_packed, trip, ctx_start, cfg: SPHConfig,
         ],
         out_specs=pl.BlockSpec((spec.tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, spec.nqb, NFIELDS, spec.cap), jnp.float32),
+            pltpu.VMEM((2, spec.nqb, 4, spec.cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, spec.nqb)),
         ],
     )
@@ -197,7 +199,7 @@ def density_window_call(q_packed, trip, ctx_start, cfg: SPHConfig,
         out_shape=jax.ShapeDtypeStruct((spec.n_layout, 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws, ws, q_packed, trip)
+    )(ws, ws, q_packed, geo_d)
 
 
 # ---------------------------------------------------------------------------
@@ -210,10 +212,9 @@ def _forces_kernel(
     g_ref,                                # (8, 2) SMEM gravity
     q_ref,                                # (tq, 8)
     d_ref,                                # (tq, 4) rho, p, cpress, rhoeff
-    geo_hbm,                              # (8, L) x, y, u, v, m~, -, -, -
-    rp_hbm,                               # (4, L) cpress, rhoeff, 0, 0
+    geo_hbm,                              # (8, 2L) x,y,u,v,m~,cpress,rhoeff,0
     out_ref,                              # (tq, 2): du_dt, dv_dt
-    stage, stage_rp, sem, sem_rp,
+    stage, sem,
     *, cfg: SPHConfig, spec: TripleSpec, n_tiles: int, interpret: bool,
 ):
     gx = g_ref[0, 0]
@@ -221,17 +222,18 @@ def _forces_kernel(
     i = pl.program_id(0)
     ib = i % 8
     qb = spec.qb
-    streams = [(geo_hbm, stage, sem), (rp_hbm, stage_rp, sem_rp)]
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
-                              streams, w_start, w_start_n)
-    _wait_windows(spec, streams, cur, slot)
+                              geo_hbm, stage, sem, w_start, w_start_n)
+    _wait_windows(spec, geo_hbm, stage, sem, cur, slot)
 
     h = jnp.float32(cfg.h)
-    inv_h = jnp.float32(1.0) / h
+    half_inv_h = jnp.float32(0.5) / h
+    two_inv_h = jnp.float32(2.0) / h
     eps_h2 = jnp.float32(cfg.eps_visc) * h * h
-    neg_alpha_c = jnp.float32(-cfg.alpha_visc) * jnp.float32(cfg.c)
-    inv_wref = jnp.float32(1.0) / jnp.float32(_unnorm_wref(cfg))
-    k_ap = jnp.float32(cfg.k_artificial_pressure)
+    # -alpha*C*h, with the h of mu folded in (`pi_sph_fluid.c:328-334`)
+    nach = jnp.float32(-cfg.alpha_visc) * jnp.float32(cfg.c) * h
+    inv_wref4 = (jnp.float32(1.0) / jnp.float32(_unnorm_wref(cfg))) ** 4
+    k_ap4 = jnp.float32(cfg.k_artificial_pressure) * inv_wref4
     # a = g - sum coef*grad_W; grad coefficient = norm*(-5)*t1^3/h^2 factored
     # out of the lane loop: a = g + (5*norm/h^2) * sum_raw
     gfac = jnp.float32(5.0) * jnp.float32(cfg.kernel_norm) / (h * h)
@@ -264,35 +266,31 @@ def _forces_kernel(
             cu = stage[slot, b, U, lo:lo + LANE].reshape(1, LANE)
             cv = stage[slot, b, V, lo:lo + LANE].reshape(1, LANE)
             cm = stage[slot, b, M, lo:lo + LANE].reshape(1, LANE)
-            ccp = stage_rp[slot, b, 0, lo:lo + LANE].reshape(1, LANE)
-            cre = stage_rp[slot, b, 1, lo:lo + LANE].reshape(1, LANE)
+            ccp = stage[slot, b, CP, lo:lo + LANE].reshape(1, LANE)
+            cre = stage[slot, b, RE, lo:lo + LANE].reshape(1, LANE)
 
             dx = qx - cx
             dy = qy - cy
             du = qu - cu
             dv = qv - cv
             r2 = dx * dx + dy * dy
-            q = jnp.sqrt(r2) * inv_h
-            t1 = jnp.maximum(1.0 - 0.5 * q, 0.0)
+            r = jnp.sqrt(r2)
+            t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)
             t1sq = t1 * t1
             t13 = t1sq * t1
-            w_un = (t1sq * t1sq) * (1.0 + 2.0 * q)
+            w_un = (t1sq * t1sq) * (1.0 + two_inv_h * r)
             # symmetric pressure (`pi_sph_fluid.c:321`); c_press is 0 on
             # boundary lanes -> fluid-only term (`pi_sph_fluid.c:350`)
             press = q_press + ccp
             # Macklin artificial pressure (`pi_sph_fluid.c:325`)
-            ap = w_un * inv_wref
-            ap2 = ap * ap
-            artif = k_ap * (ap2 * ap2)
-            # Monaghan viscosity (`pi_sph_fluid.c:328-334`): pair-mean
-            # density denominator for fluid (rho_eff_j = rho_j/2 > 0),
-            # fluid-only rho for boundary (rho_eff_j = 0,
-            # `pi_sph_fluid.c:362`)
+            w2 = w_un * w_un
+            artif = k_ap4 * (w2 * w2)
+            # Monaghan viscosity, both divides fused into one
             xy_uv = dx * du + dy * dv
-            mu = (h * xy_uv) / (r2 + eps_h2)
             denom = jnp.where(cre > 0.0, 0.5 * q_rho + cre, q_rho)
+            den = (r2 + eps_h2) * denom
             visc = jnp.where((xy_uv < 0.0) & (denom > 0.0),
-                             neg_alpha_c * mu / denom, 0.0)
+                             (nach * xy_uv) / den, 0.0)
             coef = cm * (press + artif + visc) * t13
             ax = ax + coef * dx
             ay = ay + coef * dy
@@ -304,7 +302,7 @@ def _forces_kernel(
         out_ref[qlo:qlo + qb, 1:2] = jnp.where(q_valid, gy + gfac * sy, 0.0)
 
 
-def forces_window_call(q_packed, dens_out, geo, rp, ctx_start, g,
+def forces_window_call(q_packed, dens_out, geo_f, ctx_start, g,
                        cfg: SPHConfig, spec: TripleSpec, interpret: bool = False):
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
@@ -319,13 +317,10 @@ def forces_window_call(q_packed, dens_out, geo, rp, ctx_start, g,
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((spec.tq, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((spec.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, spec.nqb, NFIELDS, spec.cap), jnp.float32),
-            pltpu.VMEM((2, spec.nqb, 4, spec.cap), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, spec.nqb)),
             pltpu.SemaphoreType.DMA((2, spec.nqb)),
         ],
     )
@@ -337,4 +332,4 @@ def forces_window_call(q_packed, dens_out, geo, rp, ctx_start, g,
         out_shape=jax.ShapeDtypeStruct((spec.n_layout, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws, ws, g2, q_packed, dens_out, geo, rp)
+    )(ws, ws, g2, q_packed, dens_out, geo_f)

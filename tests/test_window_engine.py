@@ -1,0 +1,153 @@
+"""Window engine (round-2 production path) vs the jnp oracle.
+
+Mirrors test_pallas.py for models/engine_v3.WindowEngine: interpreter-mode
+kernels on CPU, whole pipeline checked against models/simulation.py.
+Hardware-only behavior (real DMA semaphores, denormal flushing) is covered
+by tools/tpu_parity.py on the attached chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pi_sph_fluid_tpu.config import SPHConfig
+from pi_sph_fluid_tpu.models.boundary import prepare_boundary
+from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
+from pi_sph_fluid_tpu.models.scene import build_dam_break_scene, build_drop_scene
+from pi_sph_fluid_tpu.models.simulation import make_step, prime
+
+G = (0.0, -9.81)
+ENGINE_KW = dict(tq=32, qb=8, cap=256, seg_q=2, interpret=True)
+
+
+def _by_id_oracle(sim):
+    inv = np.argsort(np.asarray(sim.ids))
+    return {f: np.asarray(getattr(sim.fluid, f))[inv] for f in sim.fluid._fields}
+
+
+def _by_id_engine(eng, sim):
+    fl = eng.unpad(sim)
+    return {f: np.asarray(getattr(fl, f)) for f in fl._fields}
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = SPHConfig()
+    fluid, braw = build_dam_break_scene(cfg)
+    boundary, bgrid = prepare_boundary(braw, cfg)
+    return cfg, fluid, boundary, bgrid
+
+
+@pytest.fixture(scope="module")
+def engine(scene):
+    cfg, fluid, boundary, bgrid = scene
+    return WindowEngine(cfg, boundary, bgrid, fluid.n, **ENGINE_KW)
+
+
+@pytest.fixture(scope="module")
+def primed(scene, engine):
+    cfg, fluid, boundary, bgrid = scene
+    return engine.prime(fluid, G), prime(fluid, boundary, bgrid, G, cfg)
+
+
+def test_prime_matches_oracle(scene, engine, primed):
+    cfg, fluid, boundary, bgrid = scene
+    psim, osim = primed
+    p = _by_id_engine(engine, psim)
+    o = _by_id_oracle(osim)
+    assert np.isfinite(np.asarray(psim.au)).all()
+    np.testing.assert_allclose(p["rho"], o["rho"], rtol=1e-6)
+    np.testing.assert_allclose(p["p"], o["p"], rtol=1e-4, atol=0.05)
+
+
+def test_prime_accelerations_match(scene, engine, primed):
+    cfg, fluid, boundary, bgrid = scene
+    psim, osim = primed
+    real = np.asarray(psim.ids) >= 0
+    pinv = np.argsort(np.asarray(psim.ids)[real])
+    oinv = np.argsort(np.asarray(osim.ids))
+    np.testing.assert_allclose(np.asarray(psim.au)[real][pinv],
+                               np.asarray(osim.au)[oinv], rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(psim.av)[real][pinv],
+                               np.asarray(osim.av)[oinv], rtol=2e-5, atol=2e-4)
+
+
+def test_trajectory_matches_oracle(scene, engine, primed):
+    cfg, fluid, boundary, bgrid = scene
+    psim, osim = primed
+    pstep = jax.jit(engine.make_step())
+    ostep = jax.jit(make_step(cfg, boundary, bgrid))
+    g = jnp.asarray(G, jnp.float32)
+    overflow = 0
+    for _ in range(30):
+        psim, st = pstep(psim, g)
+        osim, _ = ostep(osim, g)
+        overflow = max(overflow, int(st.neighbor_overflow))
+    p = _by_id_engine(engine, psim)
+    o = _by_id_oracle(osim)
+    np.testing.assert_allclose(p["x"], o["x"], atol=2e-6)
+    np.testing.assert_allclose(p["y"], o["y"], atol=2e-6)
+    np.testing.assert_allclose(p["u"], o["u"], atol=2e-4)
+    np.testing.assert_allclose(p["v"], o["v"], atol=2e-4)
+    assert overflow == 0
+
+
+def test_multi_step_sticky_layout(scene, engine, primed):
+    """resort_every=3 carried windows vs per-step relayout: same physics."""
+    cfg, fluid, boundary, bgrid = scene
+    psim, _ = primed
+    g = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (6, 2))
+    m1 = jax.jit(engine.make_multi_step(resort_every=1))
+    m3 = jax.jit(engine.make_multi_step(resort_every=3))
+    s1, st1 = m1(psim, g)
+    s3, st3 = m3(psim, g)
+    f1 = engine.unpad(s1)
+    f3 = engine.unpad(s3)
+    np.testing.assert_allclose(np.asarray(f1.x), np.asarray(f3.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1.u), np.asarray(f3.u), atol=1e-5)
+    assert st3.max_speed.shape == (6,)
+    assert int(jnp.max(st3.neighbor_overflow)) == 0
+
+
+def test_ids_preserved_and_pads_inert(scene, engine, primed):
+    psim, _ = primed
+    ids = np.asarray(psim.ids)
+    real = ids >= 0
+    assert sorted(ids[real]) == list(range(engine.n_real))
+    pads = ~real
+    pk = np.asarray(psim.packed)
+    assert np.all(pk[pads, 4] == 0.0)       # zero mass
+    assert np.all(pk[pads, 2] == 0.0)       # at rest
+    assert np.all(np.asarray(psim.au)[pads] == 0.0)
+
+
+def test_window_overflow_reported_not_silent(scene):
+    """Tiny cap must report window truncation through the stats channel."""
+    cfg, fluid, boundary, bgrid = scene
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, tq=32, qb=8, cap=128,
+                       seg_q=2, interpret=True)
+    packed = eng._initial_packed(fluid)
+    _, _, overflow = jax.jit(eng._relayout)(packed)
+    assert int(overflow) > 0
+
+
+def test_drop_scene_empty_rows(scene):
+    """The drop scene has empty grid rows between fluid and floor — the
+    run-table/cummax construction must handle zero-length rows and runs
+    (the round-2 denormal-id bug was only visible on this scene)."""
+    cfg = SPHConfig()
+    fluid, braw = build_drop_scene(cfg)
+    boundary, bgrid = prepare_boundary(braw, cfg)
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, **ENGINE_KW)
+    psim = eng.prime(fluid, G)
+    osim = prime(fluid, boundary, bgrid, G, cfg)
+    p = _by_id_engine(eng, psim)
+    o = _by_id_oracle(osim)
+    np.testing.assert_allclose(p["rho"], o["rho"], rtol=1e-6)
+    # one step keeps the id <-> particle mapping intact
+    pstep = jax.jit(eng.make_step())
+    psim2, st = pstep(psim, jnp.asarray(G, jnp.float32))
+    ids = np.asarray(psim2.ids)
+    assert sorted(ids[ids >= 0]) == list(range(fluid.n))
+    assert int(st.neighbor_overflow) == 0
