@@ -71,13 +71,50 @@ def _masked_grid(x, y, valid, cfg: SPHConfig) -> GridContext:
 
 def _take_first(mask, arrays, cap):
     """Stable-pack slots where ``mask`` holds into the first ``cap`` lanes.
-    Returns (packed arrays, lane validity, overflow count)."""
+    Returns (packed arrays, lane validity, overflow count).
+
+    Same-dtype arrays are stacked and gathered as rows: per-array 1-D
+    element gathers are the slow path on TPU (~5x a row gather), and this
+    runs several times per sharded step.
+    """
     order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
     idx = order[:cap]
     lane_valid = mask[idx]
-    packed = [jnp.where(lane_valid, a[idx], 0) for a in arrays]
+    f32 = [i for i, a in enumerate(arrays) if a.dtype == jnp.float32]
+    packed = list(arrays)
+    if len(f32) > 1:
+        stacked = jnp.stack([arrays[i] for i in f32], axis=1)[idx]
+        for col, i in enumerate(f32):
+            packed[i] = jnp.where(lane_valid, stacked[:, col], 0)
+    else:
+        for i in f32:
+            packed[i] = jnp.where(lane_valid, arrays[i][idx], 0)
+    for i, a in enumerate(arrays):
+        if i not in f32:
+            packed[i] = jnp.where(lane_valid, a[idx], 0)
     overflow = jnp.maximum(jnp.sum(mask) - cap, 0)
     return packed, lane_valid, overflow
+
+
+def _perm_lists(d: int, direction: int):
+    if direction > 0:
+        return [(i, i + 1) for i in range(d - 1)]
+    return [(i, i - 1) for i in range(1, d)]
+
+
+def _exchange_impl(axis: str, d: int, mask_l, mask_r, arrays, cap):
+    """Pack boundary-crossing/halo slots and ppermute both directions.
+    Returns (received from left neighbor, from right neighbor, overflow).
+
+    Direction bookkeeping: my LEFT-bound buffer must land on device my-1,
+    i.e. ride perm [(i, i-1)] — and what I *receive* through that
+    permutation is my RIGHT neighbor's left-bound buffer."""
+    left, _, ov_l = _take_first(mask_l, arrays, cap)
+    right, _, ov_r = _take_first(mask_r, arrays, cap)
+    # ppermute fills devices with no source with zeros -> m=0 -> inert
+    from_right = [jax.lax.ppermute(a, axis, _perm_lists(d, -1)) for a in left]
+    from_left = [jax.lax.ppermute(a, axis, _perm_lists(d, +1)) for a in right]
+    return from_left, from_right, ov_l + ov_r
 
 
 def _inert(fluid: FluidState, valid) -> FluidState:
@@ -160,27 +197,9 @@ class DomainDecomposition:
         )
 
     # ------------------------------------------------------------------
-    def _perm(self, direction: int):
-        d = self.n_devices
-        if direction > 0:
-            return [(i, i + 1) for i in range(d - 1)]
-        return [(i, i - 1) for i in range(1, d)]
-
     def _exchange(self, mask_l, mask_r, arrays, cap):
-        """Pack boundary-crossing/halo slots and ppermute both directions.
-        Returns (received arrays from left neighbor, from right neighbor,
-        overflow).
-
-        Direction bookkeeping: my LEFT-bound buffer must land on device
-        my-1, i.e. ride perm [(i, i-1)] — and what I *receive* through that
-        permutation is my RIGHT neighbor's left-bound buffer.
-        """
-        left, _, ov_l = _take_first(mask_l, arrays, cap)
-        right, _, ov_r = _take_first(mask_r, arrays, cap)
-        # ppermute fills devices with no source with zeros -> m=0 -> inert
-        from_right = [jax.lax.ppermute(a, self.axis, self._perm(-1)) for a in left]
-        from_left = [jax.lax.ppermute(a, self.axis, self._perm(+1)) for a in right]
-        return from_left, from_right, ov_l + ov_r
+        return _exchange_impl(self.axis, self.n_devices, mask_l, mask_r,
+                              arrays, cap)
 
     def _halo_masks(self, fluid, valid, my):
         x_lo = my.astype(jnp.float32) * self.slab_w
@@ -211,7 +230,8 @@ class DomainDecomposition:
         owner = owner[grid.order]
         cand_ff = gather_candidates(comb.x, comb.y, grid, cfg)
         cand_fb = gather_candidates(comb.x, comb.y, self.b_grid, cfg)
-        ov = ov + span_overflow(comb.x, comb.y, grid, cfg)
+        ov = ov + span_overflow(comb.x, comb.y, grid, cfg) \
+            + span_overflow(comb.x, comb.y, self.b_grid, cfg)
         result = pass_fn(comb, cand_ff, cand_fb)
         return comb, comb_ids, owner, result, ov
 
@@ -219,10 +239,10 @@ class DomainDecomposition:
         """Keep owned valid slots (stable pack -> still cell-sorted within
         the slab), padding back to slab_cap.  Returns (fluid, ids,
         packed extras, lane validity)."""
-        arrays = list(comb) + [comb_ids.astype(jnp.float32)] + list(extras)
+        arrays = list(comb) + [comb_ids] + list(extras)
         packed, lane_valid, _ = _take_first(owner & (comb.m > 0), arrays, self.slab_cap)
         fluid = _inert(FluidState(*packed[:7]), lane_valid)
-        ids = jnp.where(lane_valid, packed[7].astype(jnp.int32), -1)
+        ids = jnp.where(lane_valid, packed[7], -1)
         extras_out = [jnp.where(lane_valid, e, 0.0) for e in packed[8:]]
         return fluid, ids, extras_out, lane_valid
 
@@ -256,19 +276,21 @@ class DomainDecomposition:
             go_l = valid & (dest < my)
             go_r = valid & (dest > my)
             stay = valid & ~(go_l | go_r)
-            payload = list(fluid) + [ids.astype(jnp.float32)]
+            # ids travel as int32 through pack + ppermute (index ops and
+            # collectives are exact at any particle count; a float32 round
+            # trip would corrupt ids above 2^24)
+            payload = list(fluid) + [ids]
             from_left, from_right, ov_mig = self._exchange(go_l, go_r, payload, self.mig_cap)
             fluid = _inert(fluid, stay)
             ids = jnp.where(stay, ids, -1)
             merged = [
                 jnp.concatenate([f, a, b])
-                for f, a, b in zip(list(fluid) + [ids.astype(jnp.float32)],
-                                   from_left, from_right)
+                for f, a, b in zip(list(fluid) + [ids], from_left, from_right)
             ]
             merged_valid = merged[4] > 0  # m field
             packed, lane_valid, ov_cap = _take_first(merged_valid, merged, self.slab_cap)
             fluid = _inert(FluidState(*packed[:7]), lane_valid)
-            ids = jnp.where(lane_valid, packed[7].astype(jnp.int32), -1)
+            ids = jnp.where(lane_valid, packed[7], -1)
             valid = lane_valid
 
             # phase 1: density + EOS on local + position ghosts

@@ -1,0 +1,383 @@
+"""Multi-chip WCSPH with the window kernels inside shard_map.
+
+Round 1's DomainDecomposition (parallel/domain.py) proved slab domain
+decomposition with ppermute migration + two-phase halo exchange, but ran
+the jnp oracle passes per slab — correctness-only at scale.  This is the
+production variant: each device runs the round-2 window-kernel pipeline
+(ops/pallas/triple.py + ops/pallas/window_kernels.py) on a *local* grid.
+
+Design (TPU-first, SURVEY.md §5 "distributed communication backend"):
+
+* slabs are **cell-aligned**: device s owns grid columns
+  [s*k, (s+1)*k), k = ceil(m/d) — so local cell indexing is a column
+  shift of the global grid and every slab compiles the same program;
+* the local grid is k+6 columns: the owned k plus a 3-cell halo each side.
+  Ghost strips are 3 cells wide so that ghost *densities* are locally
+  computable: an owned edge query consumes candidates one cell into the
+  halo; those ghosts' own 3x3 neighborhoods lie within the first two halo
+  cells, both fully present.  The third cell supplies their neighbors (and
+  one cell of safety margin against float rounding of the coordinate
+  shift).  This buys a **single** ppermute halo exchange per step — the
+  round-1 jnp path exchanged twice (positions, then fresh rho/p) and paid
+  a second sort + pack;
+* each step: migrate -> one halo exchange -> one local relayout -> density
+  kernel (owned + ghosts as queries) -> force kernel -> pack owned back.
+  Ghost rho recomputed locally equals the owner's value up to summation
+  order (different window order, ~1 ulp) — within the framework's pair-sum
+  tolerance everywhere else;
+* identity: ids ride as int32 through pack + ppermute (exact at any N);
+  inside the kernels' packed state they ride as float values in col 7
+  (owned >= 0, ghosts = -2, pads = -1), so ownership survives the layout.
+
+Boundary particles are static per slab: host-side init slices the global
+boundary into per-device local-sorted arrays (padded to a common cap with
+psi = 0 inert rows) shipped as sharded inputs.
+
+Capacities (slab/halo/migration) are physical-area bounds as in round 1;
+overflows are counted, never silent, including the window-cap overflow
+from the local kernels.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SPHConfig
+from ..state import BoundaryState, FluidState
+from ..models.engine_v3 import WindowEngine, _INERT_ROW
+from ..ops.grid import GridContext, cell_coords
+from ..ops.pallas.window_kernels import density_window_call, forces_window_call
+from .domain import DomainState, _exchange_impl, _inert, _round_up, _take_first
+
+__all__ = ["WindowDomain"]
+
+INERT_X = -1e6
+GHOST_ID = -2
+
+
+def _local_cfg(cfg: SPHConfig, local_cols: int) -> SPHConfig:
+    """A config whose grid is (n_cell_rows, local_cols): same cell size and
+    height, width chosen so the derived column count comes out exactly."""
+    lc = cfg.replace(width=(local_cols - 0.5) * cfg.cell_length)
+    assert lc.n_cell_cols == local_cols, (lc.n_cell_cols, local_cols)
+    assert lc.n_cell_rows == cfg.n_cell_rows
+    assert np.float32(lc.cell_length) == np.float32(cfg.cell_length)
+    return lc
+
+
+class WindowDomain:
+    """Slab domain decomposition running the window-kernel pipeline."""
+
+    HALO_CELLS = 3
+
+    def __init__(
+        self,
+        cfg: SPHConfig,
+        boundary: BoundaryState,
+        boundary_grid: GridContext,
+        n_global: int,
+        mesh: Mesh,
+        axis: str = "x",
+        slab_cap: int | None = None,
+        halo_cap: int | None = None,
+        mig_cap: int | None = None,
+        tq: int = 256,
+        qb: int = 16,
+        cap: int = 256,
+        seg_q: int = 2,
+        interpret: bool = False,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        d = self.n_devices = mesh.shape[axis]
+        self.interpret = interpret
+        m = cfg.n_cell_cols
+        self.k_cols = -(-m // d)                     # owned columns per slab
+        self.local_cols = self.k_cols + 2 * self.HALO_CELLS
+        self.lcfg = _local_cfg(cfg, self.local_cols)
+        cell = np.float32(cfg.cell_length)
+        self.slab_w_cells = self.k_cols * float(cell)
+
+        def area_cap(strip_w: float, slack: float = 1.35) -> int:
+            return int(strip_w * cfg.height / (cfg.r * cfg.r) * slack) + 1
+
+        self.slab_cap = slab_cap or _round_up(
+            min(area_cap(self.slab_w_cells), n_global) + 64, 128)
+        self.halo_cap = halo_cap or _round_up(
+            min(area_cap(self.HALO_CELLS * float(cell)), n_global) + 64, 64)
+        self.mig_cap = mig_cap or _round_up(
+            min(area_cap(cfg.h), n_global) + 64, 64)
+        n_local = self.slab_cap + 2 * self.halo_cap
+
+        # ---- per-device static boundary slices (local-sorted) -------------
+        bx = np.asarray(boundary.x)
+        by = np.asarray(boundary.y)
+        bpsi = np.asarray(boundary.m)
+        brho = np.asarray(boundary.rho)
+        gcol = np.clip((bx / cell).astype(np.int64), 0, m - 1)
+        grow = np.clip((by / cell).astype(np.int64), 0, cfg.n_cell_rows - 1)
+        nb_cap = 0
+        slices = []
+        for dev in range(d):
+            lo, hi = dev * self.k_cols - self.HALO_CELLS, dev * self.k_cols + self.k_cols + self.HALO_CELLS
+            sel = np.nonzero((gcol >= lo) & (gcol < hi))[0]
+            lcol = gcol[sel] - lo
+            lcell = grow[sel] * self.local_cols + lcol
+            order = np.argsort(lcell, kind="stable")
+            slices.append((sel[order], lcell[order]))
+            nb_cap = max(nb_cap, len(sel))
+        nb_cap = _round_up(max(nb_cap, 1), 8)
+        self.nb_cap = nb_cap
+        n_lcells = self.lcfg.n_cells
+        b_geo = np.zeros((d, nb_cap, 8), np.float32)
+        b_geo_d = np.zeros((d, nb_cap, 4), np.float32)
+        b_csr = np.zeros((d, n_lcells + 1), np.int32)
+        for dev, (sel, lcell) in enumerate(slices):
+            shift = np.float32((dev * self.k_cols - self.HALO_CELLS)) * cell
+            bxl = (bx[sel] - shift).astype(np.float32)
+            b_geo[dev, : len(sel), 0] = bxl
+            b_geo[dev, : len(sel), 1] = by[sel]
+            b_geo[dev, : len(sel), 4] = bpsi[sel]
+            b_geo_d[dev, : len(sel), 0] = bxl
+            b_geo_d[dev, : len(sel), 1] = by[sel]
+            b_geo_d[dev, : len(sel), 2] = bpsi[sel]
+            b_geo[dev, len(sel):, 0] = INERT_X
+            b_geo[dev, len(sel):, 1] = INERT_X
+            b_geo_d[dev, len(sel):, 0] = INERT_X
+            b_geo_d[dev, len(sel):, 1] = INERT_X
+            counts = np.bincount(lcell, minlength=n_lcells)
+            b_csr[dev, 1:] = np.cumsum(counts)
+        sh = NamedSharding(mesh, P(axis))
+        self.b_geo_sh = jax.device_put(b_geo.reshape(d * nb_cap, 8), sh)
+        self.b_geo_d_sh = jax.device_put(b_geo_d.reshape(d * nb_cap, 4), sh)
+        self.b_csr_sh = jax.device_put(b_csr.reshape(d * (n_lcells + 1)), sh)
+
+        # engine template: spec + methods; per-trace copies get the traced
+        # per-device boundary arrays patched in (engine methods consume them
+        # purely functionally)
+        from ..ops.pallas.triple import triple_spec
+
+        self.spec = triple_spec(self.lcfg, n_local, nb_cap, tq, qb, cap, seg_q)
+        eng = object.__new__(WindowEngine)
+        eng.cfg = self.lcfg
+        eng.n_real = n_local
+        eng.spec = self.spec
+        eng.interpret = interpret
+        eng.inert_row = jnp.asarray(_INERT_ROW)[None, :]
+        eng.inert_row_d = jnp.asarray([[INERT_X, INERT_X, 0.0, 0.0]], jnp.float32)
+        self._eng_template = eng
+
+    # ------------------------------------------------------------------
+    def init(self, fluid: FluidState) -> DomainState:
+        """Distribute a global FluidState into sharded slab arrays."""
+        d, cap = self.n_devices, self.slab_cap
+        cell = np.float32(self.cfg.cell_length)
+        x = np.asarray(fluid.x)
+        gcol = np.clip((x / cell).astype(np.int64), 0, self.cfg.n_cell_cols - 1)
+        dest = np.clip(gcol // self.k_cols, 0, d - 1)
+        out = {f: np.zeros((d, cap), np.float32) for f in FluidState._fields}
+        out["x"][:] = INERT_X
+        out["y"][:] = INERT_X
+        ids = np.full((d, cap), -1, np.int32)
+        for dev in range(d):
+            sel = np.nonzero(dest == dev)[0]
+            if len(sel) > cap:
+                raise ValueError(f"slab {dev} over capacity: {len(sel)} > {cap}")
+            for f in FluidState._fields:
+                out[f][dev, : len(sel)] = np.asarray(getattr(fluid, f))[sel]
+            ids[dev, : len(sel)] = sel
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        state = FluidState(**{
+            f: jax.device_put(out[f].reshape(-1), sharding) for f in FluidState._fields
+        })
+        zeros = jax.device_put(np.zeros(d * cap, np.float32), sharding)
+        return DomainState(fluid=state,
+                           ids=jax.device_put(ids.reshape(-1), sharding),
+                           au=zeros, av=zeros)
+
+    # ------------------------------------------------------------------
+    def _engine(self, b_csr, b_geo, b_geo_d):
+        eng = copy.copy(self._eng_template)
+        eng.b_cell_starts = b_csr
+        eng.b_geo = b_geo
+        eng.b_geo_d = b_geo_d
+        return eng
+
+    def _build_packed(self, eng, fields, ids_f, shift):
+        """Slab+ghost field lists -> (spec.n_layout, 8) packed state in
+        local (shifted) coordinates.  fields: [x, y, u, v, m, rho, p].
+        Rows beyond the particle capacity are zero pads (m = 0 sorts them
+        out with the inert key)."""
+        cols = [fields[0] - jnp.where(fields[4] > 0, shift, 0.0)] + \
+            list(fields[1:7]) + [ids_f]
+        packed = jnp.stack(cols, axis=1)
+        extra = self.spec.n_layout - packed.shape[0]
+        return jnp.pad(packed, ((0, extra), (0, 0)),
+                       constant_values=0.0).at[packed.shape[0]:, 7].set(-1.0)
+
+    def make_step(self):
+        cfg = self.cfg
+        lcfg = self.lcfg
+        spec = self.spec
+        d = self.n_devices
+        k = self.k_cols
+        hc = self.HALO_CELLS
+        cell = jnp.float32(cfg.cell_length)
+        inv_cell = jnp.float32(1.0) / cell
+        dt = jnp.float32(cfg.dt)
+        half = jnp.float32(0.5) * dt
+        n_lcells1 = lcfg.n_cells + 1
+        slab_cap, halo_cap = self.slab_cap, self.halo_cap
+
+        def gcol_of(x):
+            return jnp.clip((x * inv_cell).astype(jnp.int32), 0, cfg.n_cell_cols - 1)
+
+        def local_step(fluid_flat, ids, au, av, b_csr, b_geo, b_geo_d, g):
+            eng = self._engine(b_csr, b_geo, b_geo_d)
+            fluid = FluidState(*fluid_flat)
+            my = jax.lax.axis_index(self.axis)
+            valid = fluid.m > 0
+
+            # kick + drift (`pi_sph_fluid.c:614-624`)
+            u = fluid.u + half * au
+            v = fluid.v + half * av
+            fluid = fluid._replace(
+                x=jnp.where(valid, fluid.x + dt * u, fluid.x),
+                y=jnp.where(valid, fluid.y + dt * v, fluid.y),
+                u=jnp.where(valid, u, 0.0), v=jnp.where(valid, v, 0.0),
+            )
+
+            # migration: move cell-column crossers to the neighbor slab
+            dest = jnp.clip(gcol_of(fluid.x) // k, 0, d - 1)
+            go_l = valid & (dest < my)
+            go_r = valid & (dest > my)
+            stay = valid & ~(go_l | go_r)
+            payload = list(fluid) + [ids]
+            from_left, from_right, ov_mig = _exchange_impl(
+                self.axis, d, go_l, go_r, payload, self.mig_cap)
+            fluid = _inert(fluid, stay)
+            ids = jnp.where(stay, ids, -1)
+            merged = [jnp.concatenate([f, a, b])
+                      for f, a, b in zip(list(fluid) + [ids], from_left, from_right)]
+            packed0, lane_valid, ov_cap = _take_first(merged[4] > 0, merged, slab_cap)
+            fluid = _inert(FluidState(*packed0[:7]), lane_valid)
+            ids = jnp.where(lane_valid, packed0[7], -1)
+            valid = lane_valid
+
+            shift = (my * k - hc).astype(jnp.float32) * cell
+
+            def with_ghosts(fields7):
+                """halo-exchange -> [slab + ghosts] field lists + id floats."""
+                gcol = gcol_of(fields7[0])
+                in_strip_l = valid & (gcol < my * k + hc)
+                in_strip_r = valid & (gcol >= (my + 1) * k - hc)
+                from_l, from_r, ov_h = _exchange_impl(
+                    self.axis, d, in_strip_l, in_strip_r, fields7, halo_cap)
+                cat = [jnp.concatenate([f, a, b])
+                       for f, a, b in zip(fields7, from_l, from_r)]
+                ids_f = jnp.concatenate([
+                    jnp.where(valid, ids.astype(jnp.float32), -1.0),
+                    jnp.full((2 * halo_cap,), float(GHOST_ID), jnp.float32),
+                ])
+                return cat, ids_f, ov_h
+
+            # ---- one halo exchange, one layout, both kernels --------------
+            cat, ids_f, ov_h1 = with_ghosts(list(fluid))
+            packed = self._build_packed(eng, cat, ids_f, shift)
+            pk, ctx, ov_w1 = eng._relayout(packed)
+            zcol = jnp.zeros((spec.n_layout, 1), jnp.float32)
+            geo_d_src = jnp.concatenate([
+                jnp.concatenate([pk[:, 0:2], pk[:, 4:5], zcol], axis=1),
+                eng.b_geo_d, eng.inert_row_d], axis=0)
+            geo_d = eng._dual(geo_d_src[ctx.trip_src].T)
+            rho = density_window_call(pk, geo_d, ctx.w_start, lcfg, spec,
+                                      interpret=self.interpret)
+            dens4 = eng._eos(rho)
+            # ghost densities are locally complete for every candidate an
+            # owned query can reach (see module docstring), so the force
+            # pass needs no second exchange
+            geo_f_src = jnp.concatenate([
+                jnp.concatenate([pk[:, 0:5], dens4[:, 2:4], zcol], axis=1),
+                eng.b_geo, eng.inert_row], axis=0)
+            geo_f = eng._dual(geo_f_src[ctx.trip_src].T)
+            acc = forces_window_call(pk, dens4, geo_f, ctx.w_start, g, lcfg,
+                                     spec, interpret=self.interpret)
+            owner = pk[:, 7] >= 0.0
+            arrays = [pk[:, j] for j in range(8)] \
+                + [dens4[:, 0], dens4[:, 1], acc[:, 0], acc[:, 1]]
+            packed2, lv2, _ = _take_first(owner & (pk[:, 4] > 0), arrays, slab_cap)
+            au = jnp.where(lv2, packed2[10], 0.0)
+            av = jnp.where(lv2, packed2[11], 0.0)
+            fluid = _inert(FluidState(
+                x=packed2[0] + jnp.where(lv2, shift, 0.0), y=packed2[1],
+                u=packed2[2] + half * au, v=packed2[3] + half * av,
+                m=packed2[4], rho=packed2[8], p=packed2[9]), lv2)
+            ids = jnp.where(lv2, packed2[7].astype(jnp.int32), -1)
+            valid = lv2
+
+            overflow = (ov_mig + ov_cap + ov_h1 + ov_w1).astype(jnp.int32)
+            rho0 = jnp.float32(cfg.rho_0)
+            rho_err = jnp.max(jnp.where(valid, fluid.rho - rho0, -rho0))
+            speed2 = jnp.max(jnp.where(valid, fluid.u**2 + fluid.v**2, 0.0))
+            stats = (
+                jax.lax.pmax(jnp.maximum(rho_err, 0.0) / rho0 * 100.0, self.axis),
+                jnp.sqrt(jax.lax.pmax(speed2, self.axis)),
+                jax.lax.psum(overflow, self.axis),
+                jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), self.axis),
+            )
+            return tuple(fluid), ids, au, av, stats
+
+        spec_p = P(self.axis)
+        sharded = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
+                      spec_p, spec_p, spec_p, P()),
+            out_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
+                       (P(), P(), P(), P())),
+            # pallas_call outputs carry no varying-mesh-axes annotation
+            check_vma=False,
+        )
+
+        def step(state: DomainState, g):
+            fluid_t, ids, au, av, stats = sharded(
+                tuple(state.fluid), state.ids, state.au, state.av,
+                self.b_csr_sh, self.b_geo_sh, self.b_geo_d_sh,
+                jnp.asarray(g, jnp.float32),
+            )
+            new = DomainState(fluid=FluidState(*fluid_t), ids=ids, au=au, av=av)
+            return new, {
+                "max_rho_error_pct": stats[0],
+                "max_speed": stats[1],
+                "overflow": stats[2],
+                "n_valid": stats[3],
+            }
+
+        return step
+
+    def make_multi_step(self):
+        """K steps per dispatch via lax.scan (amortizes dispatch latency,
+        like the single-chip engine's multi_step)."""
+        step = self.make_step()
+
+        def multi(state: DomainState, g_trace):
+            return jax.lax.scan(step, state, jnp.asarray(g_trace, jnp.float32))
+
+        return multi
+
+    # ------------------------------------------------------------------
+    def gather(self, state: DomainState) -> FluidState:
+        """Collect the global fluid state in original id order (host-side)."""
+        ids = np.asarray(state.ids)
+        sel = ids >= 0
+        order = np.argsort(ids[sel])
+        return FluidState(*(
+            jnp.asarray(np.asarray(f)[sel][order]) for f in state.fluid
+        ))

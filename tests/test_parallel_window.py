@@ -1,0 +1,105 @@
+"""Window-kernel domain decomposition on the virtual CPU mesh.
+
+Validates the production multi-chip path (parallel/domain_window.py):
+slab decomposition + single halo exchange + local window kernels against
+the single-device WindowEngine, plus conservation and the overflow
+counters under forced-tiny capacities (the 'counted, never silent'
+invariant for the DD buffers).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from pi_sph_fluid_tpu.config import SPHConfig
+from pi_sph_fluid_tpu.models.boundary import prepare_boundary
+from pi_sph_fluid_tpu.models.engine_pallas import PackedSim
+from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
+from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+from pi_sph_fluid_tpu.parallel.domain_window import WindowDomain
+
+G = (0.0, -9.81)
+KW = dict(tq=32, qb=8, cap=256, seg_q=2, interpret=True)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = SPHConfig()
+    fluid, braw = build_dam_break_scene(cfg)
+    boundary, bgrid = prepare_boundary(braw, cfg)
+    return cfg, fluid, boundary, bgrid
+
+
+def _mesh(n):
+    devs = jax.devices()
+    assert len(devs) >= n, f"need {n} virtual devices"
+    return Mesh(np.asarray(devs[:n]), ("x",))
+
+
+def test_four_slabs_match_single_device(scene):
+    cfg, fluid, boundary, bgrid = scene
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, _mesh(4), **KW)
+    state = dd.init(fluid)
+    step = jax.jit(dd.make_step())
+
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, **KW)
+    sim = eng.prime(fluid, G)
+    sim = PackedSim(packed=sim.packed, ids=sim.ids,
+                    au=sim.au * 0, av=sim.av * 0)  # DD starts from zero acc
+    estep = jax.jit(eng.make_step())
+    g = jnp.asarray(G, jnp.float32)
+    for _ in range(15):
+        state, st = step(state, g)
+        sim, _ = estep(sim, g)
+    assert int(st["n_valid"]) == fluid.n
+    assert int(st["overflow"]) == 0
+    fd = dd.gather(state)
+    fe = eng.unpad(sim)
+    np.testing.assert_allclose(np.asarray(fd.x), np.asarray(fe.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fd.y), np.asarray(fe.y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fd.u), np.asarray(fe.u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fd.rho), np.asarray(fe.rho),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_multi_step_scan(scene):
+    cfg, fluid, boundary, bgrid = scene
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, _mesh(2), **KW)
+    state = dd.init(fluid)
+    multi = jax.jit(dd.make_multi_step())
+    gt = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (5, 2))
+    state2, st = multi(state, gt)
+    assert int(st["n_valid"][-1]) == fluid.n
+    assert int(np.max(np.asarray(st["overflow"]))) == 0
+    assert np.isfinite(np.asarray(state2.fluid.x)).all()
+
+
+def test_halo_overflow_counted_not_silent(scene):
+    """Forcing a tiny halo capacity must surface in the overflow counter,
+    not silently drop ghosts (VERDICT round-1 weak spot #3/#7)."""
+    cfg, fluid, boundary, bgrid = scene
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, _mesh(4),
+                      halo_cap=8, **KW)
+    state = dd.init(fluid)
+    step = jax.jit(dd.make_step())
+    g = jnp.asarray(G, jnp.float32)
+    ov = 0
+    for _ in range(3):
+        state, st = step(state, g)
+        ov = max(ov, int(st["overflow"]))
+        assert int(st["n_valid"]) == fluid.n  # ghosts dropped, owners kept
+    assert ov > 0
+
+
+def test_window_overflow_counted_in_dd(scene):
+    """A too-small kernel window cap must also flow into the DD stats."""
+    cfg, fluid, boundary, bgrid = scene
+    kw = dict(KW)
+    kw["cap"] = 128
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, _mesh(2), **kw)
+    state = dd.init(fluid)
+    step = jax.jit(dd.make_step())
+    state, st = step(state, jnp.asarray(G, jnp.float32))
+    assert int(st["overflow"]) > 0
