@@ -52,7 +52,7 @@ def _make_gravity(args, cfg):
 
 
 def _make_sink(args):
-    from .io.display import AsyncSink, FileSink, NullSink, TerminalSink
+    from .io.display import AsyncSink, FileSink, NullSink, PngSink, TerminalSink
 
     if args.display == "none":
         return NullSink()
@@ -60,6 +60,8 @@ def _make_sink(args):
         return AsyncSink(TerminalSink())
     if args.display.startswith("file:"):
         return AsyncSink(FileSink(args.display[5:]))
+    if args.display.startswith("png:"):
+        return AsyncSink(PngSink(args.display[4:]))
     if args.display.startswith("ssd1306"):
         from .io.ssd1306 import SSD1306Sink
 
@@ -150,7 +152,8 @@ def main(argv=None):
     rp.add_argument("--seconds", type=float, default=2.0, help="sim seconds")
     rp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
     rp.add_argument("--display", default="terminal",
-                    help="terminal | none | file:<path>")
+                    help="terminal | none | file:<path> | png:<prefix> "
+                         "| ssd1306[:bus]")
     rp.add_argument("--gravity", default="constant",
                     help="constant | rotate | mpu6050 | trace:<file.np[z]> "
                          "(a recorded (T,2) accelerometer session)")

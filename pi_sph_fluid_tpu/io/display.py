@@ -64,6 +64,47 @@ class FileSink:
         self.f.close()
 
 
+class PngSink:
+    """Writes each frame as an upscaled PNG (frame_000123.png) — the desktop
+    analog of the reference's SDL window target (`Makefile:18-23`): a
+    graphical view without any display hardware.  Pure-stdlib encoder
+    (zlib + PNG chunks), no imaging dependency.
+    """
+
+    def __init__(self, path_prefix: str, rows: int = 64, cols: int = 128,
+                 scale: int = 4):
+        self.prefix = path_prefix
+        self.rows, self.cols, self.scale = rows, cols, scale
+        self.count = 0
+
+    def _encode(self, img: np.ndarray) -> bytes:
+        import struct
+        import zlib
+
+        h, w = img.shape
+        raw = b"".join(b"\x00" + row.tobytes() for row in img)
+        def chunk(tag, data):
+            c = tag + data
+            return struct.pack(">I", len(data)) + c + struct.pack(
+                ">I", zlib.crc32(c) & 0xFFFFFFFF)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+    def push(self, framebuffer: np.ndarray) -> None:
+        from ..render.metaballs import unpack_framebuffer
+
+        lit = unpack_framebuffer(framebuffer, self.rows, self.cols)
+        img = np.where(lit, np.uint8(255), np.uint8(16))
+        img = np.repeat(np.repeat(img, self.scale, 0), self.scale, 1)
+        with open(f"{self.prefix}_{self.count:06d}.png", "wb") as f:
+            f.write(self._encode(img))
+        self.count += 1
+
+    def close(self) -> None:
+        pass
+
+
 class AsyncSink:
     """Wraps any sink with the reference's thread decoupling
     (`pi_sph_fluid.c:466-470`): the sim loop never blocks on display I/O.

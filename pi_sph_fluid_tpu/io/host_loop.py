@@ -14,7 +14,6 @@ display I/O (io/display.AsyncSink).
 from __future__ import annotations
 
 import time
-import warnings
 from dataclasses import dataclass
 
 import jax
@@ -23,7 +22,7 @@ import jax.numpy as jnp
 from ..config import SPHConfig
 from ..models.boundary import prepare_boundary
 from ..models.simulation import make_multi_step, prime
-from ..models.engine_pallas import PallasDims, PallasEngine
+from ..models.engine_v3 import WindowEngine
 from ..render.metaballs import make_renderer
 from ..utils.stats import StatsReporter
 
@@ -47,7 +46,7 @@ class RunResult:
 class SimRunner:
     """Owns the compiled step/render functions for one scene.
 
-    backend: "reference" (jnp oracle) or "pallas" (fused kernels).
+    backend: "reference" (jnp oracle) or "pallas" (window kernels).
     """
 
     def __init__(
@@ -56,22 +55,13 @@ class SimRunner:
         fluid,
         boundary_raw,
         backend: str = "pallas",
-        dims: PallasDims | None = None,
+        engine_opts: dict | None = None,
         render: bool = True,
         render_shape: tuple[int, int] = (64, 128),
         resort_every: int = 1,
     ):
         if resort_every < 1:
             raise ValueError(f"resort_every must be >= 1, got {resort_every}")
-        if render and resort_every > 1 and backend == "pallas":
-            # the Pallas renderer rebuilds fluid CSR offsets from live
-            # positions, which must agree with the row-padded layout; after
-            # resort_every-1 carried ticks cell-crossers shift the span
-            # windows and can wrongly unlight threshold pixels.  Physics is
-            # unaffected — only frames — so rendering forces fresh layouts.
-            warnings.warn("renderer attached: clamping resort_every to 1 "
-                          "(sticky layouts would render stale span windows)")
-            resort_every = 1
         self.cfg = cfg
         self.n_fluid = fluid.n
         self.backend = backend
@@ -79,7 +69,8 @@ class SimRunner:
         self.boundary = boundary
 
         if backend == "pallas":
-            self.engine = PallasEngine(cfg, boundary, bgrid, fluid.n, dims)
+            self.engine = WindowEngine(cfg, boundary, bgrid, fluid.n,
+                                       **(engine_opts or {}))
             self._prime = lambda g: self.engine.prime(fluid, g)
             multi = self.engine.make_multi_step(resort_every=resort_every)
             self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
@@ -92,15 +83,16 @@ class SimRunner:
             raise ValueError(f"unknown backend {backend!r}")
         self._resort_every = resort_every if backend == "pallas" else 1
 
-        # renderers are normalized to take the whole sim state: the Pallas
-        # renderer consumes the packed layout directly, the jnp one a
+        # renderers are normalized to take the whole sim state: the window
+        # renderer re-lays-out the packed state itself (exact for any state,
+        # including sticky-layout mid-group states), the jnp one takes a
         # FluidState view
         if not render:
             self._renderer = None
         elif backend == "pallas":
-            from ..render.metaballs_pallas import PallasRenderer
+            from ..render.metaballs_window import WindowRenderer
 
-            self._renderer = PallasRenderer(self.engine, *render_shape).render
+            self._renderer = WindowRenderer(self.engine, *render_shape).render
         else:
             jnp_render = make_renderer(cfg, *render_shape)
             self._renderer = lambda sim: jnp_render(sim.fluid)

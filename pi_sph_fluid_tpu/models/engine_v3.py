@@ -1,7 +1,7 @@
 """Window-kernel simulation engine — the round-2 production TPU path.
 
 Same physics and integration order as models/simulation.py (the jnp oracle)
-and models/engine_pallas.py (the round-1 engine), re-engineered around the
+and the round-1 span-kernel engine it replaced, re-engineered around the
 round-2 findings from on-chip profiling:
 
 * pair passes use the per-query-block window kernels over the row-triple
@@ -32,6 +32,7 @@ Observability: StepStats.neighbor_overflow = window-cap losses plus
 from __future__ import annotations
 
 import numpy as np
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,10 +43,9 @@ from ..ops.grid import GridContext, cell_ids
 from ..ops.pallas.triple import (INERT_X, TripleCtx, TripleSpec,
                                  block_windows, build_frame, triple_spec)
 from ..ops.pallas.window_kernels import density_window_call, forces_window_call
-from .engine_pallas import PackedSim
 from .simulation import StepStats
 
-__all__ = ["WindowEngine", "TripleSpec"]
+__all__ = ["WindowEngine", "TripleSpec", "PackedSim"]
 
 # ids travel in packed column 7 as float32 *values* (exact below 2^24 ~ 16.7M
 # particles, asserted at engine build).  NOT as int32 bitcasts: ids < 2^23
@@ -53,6 +53,22 @@ __all__ = ["WindowEngine", "TripleSpec"]
 # XLA routes the column through a compute unit — observed collapsing every
 # id to 0 on v5e.
 _INERT_ROW = np.asarray([INERT_X, INERT_X, 0, 0, 0, 0, 0, -1.0], np.float32)
+
+
+class PackedSim(NamedTuple):
+    """Simulation state in packed layout space."""
+
+    packed: jnp.ndarray   # (n_layout, 8): x, y, u, v, m, rho, p, pad
+    ids: jnp.ndarray      # (n_layout,) int32, -1 on pad slots
+    au: jnp.ndarray       # (n_layout,)
+    av: jnp.ndarray
+
+    @property
+    def fluid(self) -> FluidState:
+        """FluidState view (column slices; cheap inside jit)."""
+        p = self.packed
+        return FluidState(x=p[:, 0], y=p[:, 1], u=p[:, 2], v=p[:, 3],
+                          m=p[:, 4], rho=p[:, 5], p=p[:, 6])
 
 
 class WindowEngine:

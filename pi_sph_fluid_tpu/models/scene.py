@@ -139,7 +139,7 @@ def build_pool_scene(
     """A settled pool: fluid fills nearly the whole box width up to
     ``fill_y`` of its height.  The steady state of every closed-box scene —
     and the benchmark scene, since the row-padded layout is sized for full
-    row occupancy (ops/pallas/spans.py) and a pool actually uses it."""
+    row occupancy (ops/pallas/triple.py) and a pool actually uses it."""
     x_lo = np.float32(cfg.width) * np.float32(1.0 - fill_x)
     x_hi = np.float32(cfg.width) * np.float32(fill_x)
     y_max = np.float32(cfg.height) * np.float32(fill_y)

@@ -89,7 +89,7 @@ def make_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: GridContex
     ``boundary``/``boundary_grid`` are static captures: immutable after scene
     build, exactly like the reference (`pi_sph_fluid.c:599-601`).
     ``damping`` < 1 scales velocities per step (settling runs; see
-    engine_pallas.make_step).
+    engine_v3.make_step).
     """
     dt = jnp.float32(cfg.dt)
     half_dt = jnp.float32(0.5) * dt

@@ -1,6 +1,6 @@
 """Fused per-query-block window kernels over the row-triple candidate layout.
 
-Round-2 replacements for pair_kernels.py's whole-tile span kernels.  Each
+Round-2 replacements for the round-1 whole-tile span kernels.  Each
 TQ-query tile is processed as NQB static blocks of QB queries; every block
 fetches exactly one contiguous candidate window with one DMA and runs
 **fully static** pair math: CAP/128 unrolled chunks with compile-time lane

@@ -15,7 +15,7 @@ from jax.sharding import Mesh
 
 from pi_sph_fluid_tpu.config import SPHConfig
 from pi_sph_fluid_tpu.models.boundary import prepare_boundary
-from pi_sph_fluid_tpu.models.engine_pallas import PackedSim
+from pi_sph_fluid_tpu.models.engine_v3 import PackedSim
 from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
 from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
 from pi_sph_fluid_tpu.parallel.domain_window import WindowDomain

@@ -67,7 +67,7 @@ def test_framebuffer_matches_golden_c(setup):
         pytest.skip("golden fixture not present")
     eng, _, renderer = setup
     golden = np.load(FIXTURE)
-    from pi_sph_fluid_tpu.models.engine_pallas import PackedSim
+    from pi_sph_fluid_tpu.models.engine_v3 import PackedSim
     from pi_sph_fluid_tpu.state import FluidState
 
     render = jax.jit(renderer.render)
