@@ -273,13 +273,21 @@ class WindowEngine:
             pk, ctx, overflow = self._relayout(pk)
             pk, au, av = self._pair_passes(pk, ctx, g_group[0])
             sim = self._finish(pk, au, av, half_dt, damp)
-            stats_list = [self.stats(sim, overflow)]
-            for j in range(1, resort_every):
+            st0 = self.stats(sim, overflow)
+
+            # carried ticks as an inner scan: a python-unrolled group keeps
+            # every tick's candidate-array temporaries live simultaneously
+            # in XLA's buffer assignment (measured 23G at 4M particles —
+            # the whole-step scan form reuses one tick's worth)
+            def carried(sim, g_j):
                 pk = self._kick_drift(sim, dt, half_dt)
-                pk, au, av = self._pair_passes(pk, ctx, g_group[j])
+                pk, au, av = self._pair_passes(pk, ctx, g_j)
                 sim = self._finish(pk, au, av, half_dt, damp)
-                stats_list.append(self.stats(sim, jnp.asarray(0, jnp.int32)))
-            stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stats_list)
+                return sim, self.stats(sim, jnp.asarray(0, jnp.int32))
+
+            sim, st_rest = jax.lax.scan(carried, sim, g_group[1:])
+            stats = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]), st0, st_rest)
             return sim, stats
 
         def multi_step(sim: PackedSim, g_trace):

@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--tq", type=int, default=256)
     ap.add_argument("--qb", type=int, default=16)
     ap.add_argument("--cap", type=int, default=256)
-    ap.add_argument("--seg-q", type=int, default=3)
+    ap.add_argument("--seg-q", type=int, default=2)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--resorts", type=str, default="1,4")
     ap.add_argument("--pieces", action="store_true")
