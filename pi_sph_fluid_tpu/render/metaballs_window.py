@@ -99,6 +99,12 @@ class WindowRenderer:
         # kernel sums
         px_width = np.float32(cfg.width) / np.float32(128.0)
         w_ref = float(kernel_w_scalar(np.float32(px_width) / np.float32(2.0), cfg))
+        if w_ref <= 0.0:
+            # at fine resolutions the reference distance px_width/2 falls
+            # outside the kernel support, so the reference's threshold
+            # degenerates to "any particle within 2H lights the pixel"
+            # (sum >= W(px/2) = 0); a tiny denominator reproduces that
+            w_ref = float(np.float32(1e-30))
         self.field_scale = float(np.float32(cfg.kernel_norm) / np.float32(w_ref))
 
         # ---- static pixel layout: qb-quantized per-grid-row blocks --------
@@ -112,7 +118,9 @@ class WindowRenderer:
         row_count = np.bincount(grow, minlength=n_rows_g)
         rowcap = -(-row_count // qb) * qb
         rstart = np.concatenate([[0], np.cumsum(rowcap)])
-        tq = max(qb, 8)
+        # wide tiles: thin (tq, 1) output blocks pay ~50 us/tile of pipeline
+        # overhead (measured 59 ms/frame at 1M with tq=8)
+        tq = max(qb, 64)
         n_layout = int(-(-rstart[-1] // tq) * tq)
         q = np.full((n_layout, 8), 0.0, np.float32)
         q[:, 0] = INERT_PX
