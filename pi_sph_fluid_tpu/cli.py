@@ -83,6 +83,7 @@ def cmd_run(args):
     print(f"n_fluid = {fluid.n}")
     print(f"n_boundary = {braw.n}")
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
+                       engine_opts=dict(cap=args.cap),
                        render=args.display != "none",
                        resort_every=args.resort_every)
     gravity = _make_gravity(args, cfg)
@@ -120,6 +121,7 @@ def cmd_bench(args):
     cfg = SPHConfig(r=r)
     fluid, braw = build_pool_scene(cfg)
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
+                       engine_opts=dict(cap=args.cap),
                        render=args.render, resort_every=args.resort_every)
     gravity = ConstantGravity(cfg)
     # warmup dispatch compiles everything; must use the same scan length as
@@ -165,6 +167,10 @@ def main(argv=None):
     rp.add_argument("--settle-seconds", type=float, default=0.0,
                     help="damped pre-roll to bleed off the startup transient "
                          "(recommended >= 0.3 for fine resolutions)")
+    rp.add_argument("--cap", type=int, default=384,
+                    help="candidate-window lane capacity; 256 is enough for "
+                         "settled flows, 384 covers strong free-surface "
+                         "transients (overflow is counted, never silent)")
     rp.add_argument("--resort-every", type=int, default=1,
                     help="sticky-layout interval: re-sort the grid every k "
                          "steps (k<=4 is fringe-exact even at the C/10 "
@@ -181,6 +187,7 @@ def main(argv=None):
     bp.add_argument("--steps", type=int, default=200)
     bp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
     bp.add_argument("--render", action="store_true", help="include rendering in the loop")
+    bp.add_argument("--cap", type=int, default=256)
     bp.add_argument("--resort-every", type=int, default=4)
     bp.set_defaults(fn=cmd_bench)
 
