@@ -53,7 +53,8 @@ from ..state import BoundaryState, FluidState
 from ..models.engine_v3 import WindowEngine, _INERT_ROW
 from ..ops.grid import GridContext, cell_coords
 from ..ops.pallas.window_kernels import density_window_call, forces_window_call
-from .domain import DomainState, _exchange_impl, _inert, _round_up, _take_first
+from .domain import (DomainState, _exchange_impl, _inert, _perm_lists,
+                     _round_up, _take_first)
 
 __all__ = ["WindowDomain"]
 
@@ -362,15 +363,258 @@ class WindowDomain:
 
         return step
 
-    def make_multi_step(self):
-        """K steps per dispatch via lax.scan (amortizes dispatch latency,
-        like the single-chip engine's multi_step)."""
-        step = self.make_step()
+    def make_multi_step(self, resort_every: int = 1):
+        """K steps per dispatch via lax.scan.
+
+        ``resort_every`` > 1 enables *sticky groups*: migration, halo
+        selection, sort and window build run on the first tick of each
+        group; the following ticks stay in layout space and exchange only
+        the halo members' live values (one small ppermute per tick) — the
+        3-cell halo strips already carry the drift margin (particles move
+        <= H/10 per tick under the C/10 design bound), and ghost densities
+        stay locally computable.  Same staleness bound as the single-chip
+        engine's sticky layout.
+        """
+        if resort_every <= 1:
+            step = self.make_step()
+
+            def multi(state: DomainState, g_trace):
+                return jax.lax.scan(step, state, jnp.asarray(g_trace, jnp.float32))
+
+            return multi
+
+        group = self._make_group(resort_every)
 
         def multi(state: DomainState, g_trace):
-            return jax.lax.scan(step, state, jnp.asarray(g_trace, jnp.float32))
+            g_trace = jnp.asarray(g_trace, jnp.float32)
+            kk = g_trace.shape[0]
+            assert kk % resort_every == 0, \
+                f"trace length {kk} not a multiple of resort_every={resort_every}"
+            groups = g_trace.reshape(kk // resort_every, resort_every, 2)
+            state, stats = jax.lax.scan(group, state, groups)
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape(kk, *a.shape[2:]), stats)
+            return state, flat
 
         return multi
+
+    def _make_group(self, resort_every: int):
+        """One sticky group: full step machinery on tick 0, value-only halo
+        refresh + kernels on ticks 1..resort_every-1."""
+        cfg = self.cfg
+        lcfg = self.lcfg
+        spec = self.spec
+        d = self.n_devices
+        k = self.k_cols
+        hc = self.HALO_CELLS
+        cell = jnp.float32(cfg.cell_length)
+        inv_cell = jnp.float32(1.0) / cell
+        dt = jnp.float32(cfg.dt)
+        half = jnp.float32(0.5) * dt
+        slab_cap, halo_cap = self.slab_cap, self.halo_cap
+        n_input = slab_cap + 2 * halo_cap
+        OOB = jnp.int32(spec.n_layout + 7)  # dropped by scatter/gather modes
+
+        def gcol_of(x):
+            return jnp.clip((x * inv_cell).astype(jnp.int32), 0, cfg.n_cell_cols - 1)
+
+        def select(mask, cap):
+            order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+            idx = order[:cap]
+            return idx, mask[idx]
+
+        def local_group(fluid_flat, ids, au, av, b_csr, b_geo, b_geo_d, g_group):
+            eng = self._engine(b_csr, b_geo, b_geo_d)
+            fluid = FluidState(*fluid_flat)
+            my = jax.lax.axis_index(self.axis)
+            valid = fluid.m > 0
+
+            # ---- tick-0 prologue: kick-drift + migration ------------------
+            u = fluid.u + half * au
+            v = fluid.v + half * av
+            fluid = fluid._replace(
+                x=jnp.where(valid, fluid.x + dt * u, fluid.x),
+                y=jnp.where(valid, fluid.y + dt * v, fluid.y),
+                u=jnp.where(valid, u, 0.0), v=jnp.where(valid, v, 0.0),
+            )
+            dest = jnp.clip(gcol_of(fluid.x) // k, 0, d - 1)
+            go_l = valid & (dest < my)
+            go_r = valid & (dest > my)
+            stay = valid & ~(go_l | go_r)
+            payload = list(fluid) + [ids]
+            from_left, from_right, ov_mig = _exchange_impl(
+                self.axis, d, go_l, go_r, payload, self.mig_cap)
+            fluid = _inert(fluid, stay)
+            ids = jnp.where(stay, ids, -1)
+            merged = [jnp.concatenate([f, a, b])
+                      for f, a, b in zip(list(fluid) + [ids], from_left, from_right)]
+            packed0, lane_valid, ov_cap = _take_first(merged[4] > 0, merged, slab_cap)
+            fluid = _inert(FluidState(*packed0[:7]), lane_valid)
+            ids = jnp.where(lane_valid, packed0[7], -1)
+            valid = lane_valid
+            shift = (my * k - hc).astype(jnp.float32) * cell
+
+            # ---- halo selection with carried indices ----------------------
+            gcol = gcol_of(fluid.x)
+            in_l = valid & (gcol < my * k + hc)
+            in_r = valid & (gcol >= (my + 1) * k - hc)
+            idx_l, lv_l = select(in_l, halo_cap)
+            idx_r, lv_r = select(in_r, halo_cap)
+            ov_h = (jnp.maximum(jnp.sum(in_l) - halo_cap, 0)
+                    + jnp.maximum(jnp.sum(in_r) - halo_cap, 0))
+            F = jnp.stack(list(fluid), axis=1)              # (slab_cap, 7)
+            pack_l = jnp.where(lv_l[:, None], F[idx_l], 0.0)
+            pack_r = jnp.where(lv_r[:, None], F[idx_r], 0.0)
+            from_right7 = jax.lax.ppermute(pack_l, self.axis, _perm_lists(d, -1))
+            from_left7 = jax.lax.ppermute(pack_r, self.axis, _perm_lists(d, +1))
+            cat = [jnp.concatenate([F[:, j], from_left7[:, j], from_right7[:, j]])
+                   for j in range(7)]
+            ids_f = jnp.concatenate([
+                jnp.where(valid, ids.astype(jnp.float32), -1.0),
+                jnp.full((2 * halo_cap,), float(GHOST_ID), jnp.float32),
+            ])
+
+            # ---- relayout; packed col 5 carries the input-row index so the
+            # input -> layout-slot map (inv) can be recovered (cols 5-6 are
+            # dead during the group: kernels read rho/p from the density
+            # output, and the group-end pack takes them from dens4)
+            packed = self._build_packed(eng, cat, ids_f, shift)
+            rowidx_col = jnp.concatenate([
+                jnp.arange(n_input, dtype=jnp.float32),
+                jnp.full((spec.n_layout - n_input,), -1.0, jnp.float32)])
+            # one concat, not a column .at-set: lane-dimension DUS rewrites
+            # the whole array through a masked slow path on TPU
+            packed = jnp.concatenate(
+                [packed[:, :5], rowidx_col[:, None], packed[:, 6:]], axis=1)
+            pk, ctx, ov_w = eng._relayout(packed)
+            rowidx = pk[:, 5].astype(jnp.int32)
+            slot_of_input = jnp.full((n_input,), OOB, jnp.int32).at[
+                jnp.where(pk[:, 4] > 0, rowidx, n_input)
+            ].set(jnp.arange(spec.n_layout, dtype=jnp.int32), mode="drop")
+            # carried-tick exchange plumbing (all fixed within the group):
+            send_l = jnp.where(lv_l, slot_of_input[idx_l], OOB)
+            send_r = jnp.where(lv_r, slot_of_input[idx_r], OOB)
+            ghost_l = slot_of_input[slab_cap + jnp.arange(halo_cap)]
+            ghost_r = slot_of_input[slab_cap + halo_cap + jnp.arange(halo_cap)]
+
+            zcol = jnp.zeros((spec.n_layout, 1), jnp.float32)
+
+            def pair_passes(pk, g):
+                geo_d_src = jnp.concatenate([
+                    jnp.concatenate([pk[:, 0:2], pk[:, 4:5], zcol], axis=1),
+                    eng.b_geo_d, eng.inert_row_d], axis=0)
+                geo_d = eng._dual(geo_d_src[ctx.trip_src].T)
+                rho = density_window_call(pk, geo_d, ctx.w_start, lcfg, spec,
+                                          interpret=self.interpret)
+                dens4 = eng._eos(rho)
+                geo_f_src = jnp.concatenate([
+                    jnp.concatenate([pk[:, 0:5], dens4[:, 2:4], zcol], axis=1),
+                    eng.b_geo, eng.inert_row], axis=0)
+                geo_f = eng._dual(geo_f_src[ctx.trip_src].T)
+                acc = forces_window_call(pk, dens4, geo_f, ctx.w_start, g,
+                                         lcfg, spec, interpret=self.interpret)
+                return dens4, acc
+
+            def tick_stats(pk, dens4, ovf):
+                rho0 = jnp.float32(cfg.rho_0)
+                q_valid = pk[:, 4] > 0
+                rho_err = jnp.max(jnp.where(q_valid, dens4[:, 0] - rho0, -rho0))
+                speed2 = jnp.max(jnp.where(q_valid, pk[:, 2] ** 2 + pk[:, 3] ** 2, 0.0))
+                return (
+                    jax.lax.pmax(jnp.maximum(rho_err, 0.0) / rho0 * 100.0, self.axis),
+                    jnp.sqrt(jax.lax.pmax(speed2, self.axis)),
+                    jax.lax.psum(ovf.astype(jnp.int32), self.axis),
+                    jax.lax.psum(jnp.sum(q_valid & (pk[:, 7] >= 0)).astype(jnp.int32),
+                                 self.axis),
+                )
+
+            def finish(pk, dens4, acc):
+                # cols 5-6 carry fresh rho/p; one concat per tick (column
+                # .at-sets into the lane dimension are a slow path)
+                u2 = pk[:, 2] + half * acc[:, 0]
+                v2 = pk[:, 3] + half * acc[:, 1]
+                return jnp.concatenate(
+                    [pk[:, 0:2], u2[:, None], v2[:, None], pk[:, 4:5],
+                     dens4[:, 0:2], pk[:, 7:8]], axis=1)
+
+            # ---- tick 0 ---------------------------------------------------
+            dens4, acc = pair_passes(pk, g_group[0])
+            pk = finish(pk, dens4, acc)
+            ov0 = ov_mig + ov_cap + ov_h + ov_w
+            st0 = tick_stats(pk, dens4, ov0)
+
+            # ---- carried ticks -------------------------------------------
+            def carried(carry, g_j):
+                pk, acc = carry
+                # full kick-drift in layout space (ghost rows drift with
+                # locally-computed — wrong — acc, then get overwritten by
+                # the owner's values below)
+                u2 = pk[:, 2] + half * acc[:, 0]
+                v2 = pk[:, 3] + half * acc[:, 1]
+                x2 = pk[:, 0] + dt * u2
+                y2 = pk[:, 1] + dt * v2
+                pk = jnp.concatenate(
+                    [x2[:, None], y2[:, None], u2[:, None], v2[:, None],
+                     pk[:, 4:]], axis=1)
+                # halo value refresh: x, y, u, v of the carried halo members
+                vals_l = jnp.where((send_l < OOB)[:, None],
+                                   pk[jnp.minimum(send_l, spec.n_layout - 1), 0:4], 0.0)
+                vals_r = jnp.where((send_r < OOB)[:, None],
+                                   pk[jnp.minimum(send_r, spec.n_layout - 1), 0:4], 0.0)
+                rec_r = jax.lax.ppermute(vals_l, self.axis, _perm_lists(d, -1))
+                rec_l = jax.lax.ppermute(vals_r, self.axis, _perm_lists(d, +1))
+                # senders' local frames differ by one slab width
+                rec_l = rec_l.at[:, 0].add(-(k * cell))
+                rec_r = rec_r.at[:, 0].add(k * cell)
+                pk = pk.at[ghost_l, 0:4].set(rec_l, mode="drop")
+                pk = pk.at[ghost_r, 0:4].set(rec_r, mode="drop")
+                dens4, acc = pair_passes(pk, g_j)
+                pk = finish(pk, dens4, acc)
+                return (pk, acc), tick_stats(pk, dens4, jnp.asarray(0, jnp.int32))
+
+            (pk, acc), st_rest = jax.lax.scan(carried, (pk, acc), g_group[1:])
+            stats = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]), st0, st_rest)
+
+            # ---- group end: pack owned back to slab arrays ----------------
+            owner = pk[:, 7] >= 0.0
+            arrays = [pk[:, j] for j in range(8)] + [acc[:, 0], acc[:, 1]]
+            packed2, lv2, _ = _take_first(owner & (pk[:, 4] > 0), arrays, slab_cap)
+            au_o = jnp.where(lv2, packed2[8], 0.0)
+            av_o = jnp.where(lv2, packed2[9], 0.0)
+            fluid = _inert(FluidState(
+                x=packed2[0] + jnp.where(lv2, shift, 0.0), y=packed2[1],
+                u=packed2[2], v=packed2[3],
+                m=packed2[4], rho=packed2[5], p=packed2[6]), lv2)
+            ids = jnp.where(lv2, packed2[7].astype(jnp.int32), -1)
+            return tuple(fluid), ids, au_o, av_o, stats
+
+        spec_p = P(self.axis)
+        sharded = jax.shard_map(
+            local_group,
+            mesh=self.mesh,
+            in_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
+                      spec_p, spec_p, spec_p, P()),
+            out_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
+                       (P(), P(), P(), P())),
+            check_vma=False,
+        )
+
+        def group(state: DomainState, g_group):
+            fluid_t, ids, au, av, stats = sharded(
+                tuple(state.fluid), state.ids, state.au, state.av,
+                self.b_csr_sh, self.b_geo_sh, self.b_geo_d_sh,
+                jnp.asarray(g_group, jnp.float32),
+            )
+            new = DomainState(fluid=FluidState(*fluid_t), ids=ids, au=au, av=av)
+            return new, {
+                "max_rho_error_pct": stats[0],
+                "max_speed": stats[1],
+                "overflow": stats[2],
+                "n_valid": stats[3],
+            }
+
+        return group
 
     # ------------------------------------------------------------------
     def gather(self, state: DomainState) -> FluidState:
