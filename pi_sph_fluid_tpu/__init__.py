@@ -2,9 +2,14 @@
 
 A ground-up rebuild of the capabilities of colonelwatch/pi-sph-fluid
 (reference: /root/reference/pi_sph_fluid.c) designed TPU-first: counting-sort
-hash grid, fused Pallas pair kernels, whole-tick-in-XLA leapfrog stepping,
-on-device metaball rendering, async host I/O shell, and shard_map slab
-domain decomposition for multi-chip scale-out.
+hash grid, maskless Pallas window kernels over a row-triple merged candidate
+layout, whole-tick-in-XLA leapfrog stepping, on-device metaball rendering,
+async host I/O shell, and shard_map slab domain decomposition for
+multi-chip scale-out.
+
+The production single-chip path is models.engine_v3.WindowEngine; the
+multi-chip path is parallel.domain_window.WindowDomain; models.simulation
+is the jnp oracle both are validated against.
 """
 
 from .config import DEFAULT_CONFIG, SPHConfig
@@ -24,6 +29,7 @@ from .models.simulation import (
     prime,
     stats,
 )
+from .models.engine_v3 import PackedSim, WindowEngine
 
 __version__ = "0.1.0"
 
@@ -45,4 +51,6 @@ __all__ = [
     "make_step",
     "make_multi_step",
     "stats",
+    "WindowEngine",
+    "PackedSim",
 ]
