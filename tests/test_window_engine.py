@@ -151,3 +151,41 @@ def test_drop_scene_empty_rows(scene):
     ids = np.asarray(psim2.ids)
     assert sorted(ids[ids >= 0]) == list(range(fluid.n))
     assert int(st.neighbor_overflow) == 0
+
+
+def test_tiny_clustered_scene(scene):
+    """Degenerate sizes: 3 particles sharing one cell (single-block windows,
+    mostly-empty grid) survive priming and stepping with exact id tracking."""
+    cfg, _, boundary, bgrid = scene
+    from pi_sph_fluid_tpu.state import FluidState
+
+    z = jnp.zeros(3, jnp.float32)
+    fl = FluidState(x=jnp.asarray([2.0, 2.01, 2.0]),
+                    y=jnp.asarray([1.0, 1.0, 1.01]), u=z, v=z,
+                    m=z + cfg.particle_mass, rho=z + cfg.rho_0, p=z)
+    eng = WindowEngine(cfg, boundary, bgrid, 3, **ENGINE_KW)
+    sim = eng.prime(fl, G)
+    step = jax.jit(eng.make_step())
+    for _ in range(3):
+        sim, st = step(sim, jnp.asarray(G, jnp.float32))
+    ids = np.asarray(sim.ids)
+    assert sorted(ids[ids >= 0]) == [0, 1, 2]
+    assert int(st.neighbor_overflow) == 0
+    rho = np.asarray(eng.unpad(sim).rho)
+    assert np.isfinite(rho).all() and (rho > 0).all()
+
+
+def test_single_particle_at_corner(scene):
+    """One particle in the top-left corner cell: edge-row/edge-column window
+    clamps and boundary-wall candidates all on one block."""
+    cfg, _, boundary, bgrid = scene
+    from pi_sph_fluid_tpu.state import FluidState
+
+    one = jnp.ones(1, jnp.float32)
+    fl = FluidState(x=0.05 * one, y=1.99 * one, u=0 * one, v=0 * one,
+                    m=cfg.particle_mass * one, rho=cfg.rho_0 * one, p=0 * one)
+    eng = WindowEngine(cfg, boundary, bgrid, 1, **ENGINE_KW)
+    sim = eng.prime(fl, G)
+    fl2 = eng.unpad(sim)
+    assert np.isfinite(float(fl2.rho[0])) and float(fl2.rho[0]) > 0
+    assert np.isfinite(np.asarray(sim.au)).all()
