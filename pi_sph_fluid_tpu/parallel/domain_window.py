@@ -41,7 +41,6 @@ from the local kernels.
 from __future__ import annotations
 
 import copy
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +50,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SPHConfig
 from ..state import BoundaryState, FluidState
 from ..models.engine_v3 import WindowEngine, _INERT_ROW
-from ..ops.grid import GridContext, cell_coords
+from ..ops.grid import GridContext
 from ..ops.pallas.window_kernels import density_window_call, forces_window_call
 from .domain import (DomainState, _exchange_impl, _inert, _perm_lists,
                      _round_up, _take_first)
@@ -121,7 +120,6 @@ class WindowDomain:
         bx = np.asarray(boundary.x)
         by = np.asarray(boundary.y)
         bpsi = np.asarray(boundary.m)
-        brho = np.asarray(boundary.rho)
         gcol = np.clip((bx / cell).astype(np.int64), 0, m - 1)
         grow = np.clip((by / cell).astype(np.int64), 0, cfg.n_cell_rows - 1)
         nb_cap = 0
