@@ -32,6 +32,8 @@ class ConstantGravity:
             [0.0 if gx is None else gx, -cfg.g if gy is None else gy], np.float32
         )
 
+    is_constant = True
+
     def current(self) -> np.ndarray:
         return self.g
 

@@ -97,15 +97,33 @@ class SimRunner:
             jnp_render = make_renderer(cfg, *render_shape)
             self._renderer = lambda sim: jnp_render(sim.fluid)
 
+        # per-dispatch stats reduce to 3 scalars INSIDE the jit: returning
+        # (k,)-stat arrays and reducing them host-side spawned several tiny
+        # executables per dispatch, and per-executable latency dominates the
+        # small-scene loop (through a remote-TPU tunnel especially)
+        def _reduce(st):
+            import jax.numpy as _jnp
+
+            return type(st)(
+                max_rho_error_pct=_jnp.max(st.max_rho_error_pct),
+                max_speed=_jnp.max(st.max_speed),
+                neighbor_overflow=_jnp.sum(st.neighbor_overflow),
+            )
+
         if self._renderer is None:
-            self._dispatch = jax.jit(multi)
+            @jax.jit
+            def dispatch(sim, g_trace):
+                sim, st = multi(sim, g_trace)
+                return sim, _reduce(st)
+
+            self._dispatch = dispatch
         else:
             renderer = self._renderer
 
             @jax.jit
             def dispatch(sim, g_trace):
                 sim, st = multi(sim, g_trace)
-                return sim, st, renderer(sim)
+                return sim, _reduce(st), renderer(sim)
 
             self._dispatch = dispatch
 
@@ -123,8 +141,16 @@ class SimRunner:
         cfg = self.cfg
         dt = cfg.dt
         # default batch: one 60 Hz display frame worth of steps
-        # (`pi_sph_fluid.c:648`), like the reference's draw cadence
-        k = steps_per_dispatch or max(1, int(round(1.0 / (60.0 * dt))))
+        # (`pi_sph_fluid.c:648`), like the reference's draw cadence; headless
+        # runs batch a whole report interval (0.1 sim-s) — dispatch
+        # round-trip latency is the real-time limiter on high-latency
+        # device attachments, so raise steps_per_dispatch further there
+        if steps_per_dispatch:
+            k = steps_per_dispatch
+        elif self._renderer is not None:
+            k = max(1, int(round(1.0 / (60.0 * dt))))
+        else:
+            k = max(1, int(round(0.1 / dt)))
         k = -(-k // self._resort_every) * self._resort_every
         n_dispatch = max(1, int(round(sim_seconds / (k * dt))))
 
@@ -142,11 +168,18 @@ class SimRunner:
             for _ in range(-(-n_settle // k)):
                 sim, _ = self._settle_multi(sim, g0)
         reporter = StatsReporter(dt=dt, stream=report_stream)
+        # constant sources: build the device trace once instead of a
+        # host->device transfer per dispatch (each round trip adds latency,
+        # ~100 ms through a remote-TPU tunnel)
+        g_const = None
+        if getattr(gravity_source, "is_constant", False):
+            g_const = jnp.asarray(gravity_source.trace(k, dt))
         t0 = time.perf_counter()
         t_mono0 = time.monotonic()
         sim_t = 0.0
         for _ in range(n_dispatch):
-            g_trace = jnp.asarray(gravity_source.trace(k, dt))
+            g_trace = g_const if g_const is not None \
+                else jnp.asarray(gravity_source.trace(k, dt))
             if self._renderer is None:
                 sim, st = self._dispatch(sim, g_trace)
             else:

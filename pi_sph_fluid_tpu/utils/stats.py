@@ -8,8 +8,14 @@ Fields are replicated exactly (plus the neighbor-overflow counter this
 framework adds), with the reference's max-density comparison bug fixed —
 it compared rho against an error so the "max" was the last particle's
 rho-rho0 (`pi_sph_fluid.c:658-659`, SURVEY.md §2 #16); we report the true
-max.  Reductions happen on device (models/simulation.py stats); this module
-only aggregates and formats host-side.
+max.  Reductions happen on device (models/simulation.py stats).
+
+Accumulation is **lazy**: per-dispatch updates only enqueue tiny device
+maximums; the host materializes them when a report line is due (every 0.1
+sim-seconds) or when the worst-case properties are read.  A per-dispatch
+host sync would serialize the dispatch pipeline — through a remote-TPU
+tunnel each sync costs ~100 ms, an 11x real-time slowdown at the
+reference's 269-particle operating point.
 """
 
 from __future__ import annotations
@@ -29,39 +35,69 @@ class StatsReporter:
     stream: object = None
 
     t: float = 0.0
-    worst_rho_error_pct: float = 0.0
-    worst_speed: float = 0.0
-    total_overflow: int = 0
     _last_report_t: float = 0.0
     _last_report_wall: float = field(default_factory=time.perf_counter)
-    _window_rho: float = 0.0
-    _window_speed: float = 0.0
+    _worst_rho: object = 0.0      # device or python scalars; max-merged lazily
+    _worst_speed: object = 0.0
+    _overflow: object = 0
+    _window_rho: object = 0.0
+    _window_speed: object = 0.0
+
+    _pending: list = field(default_factory=list)
+
+    @property
+    def worst_rho_error_pct(self) -> float:
+        self._drain()
+        return float(self._worst_rho)
+
+    @property
+    def worst_speed(self) -> float:
+        self._drain()
+        return float(self._worst_speed)
+
+    @property
+    def total_overflow(self) -> int:
+        self._drain()
+        return int(self._overflow)
+
+    def _drain(self):
+        """Fold pending device stats into the host-side aggregates."""
+        for st in self._pending:
+            rho = float(np.max(np.asarray(st.max_rho_error_pct)))
+            speed = float(np.max(np.asarray(st.max_speed)))
+            ov = int(np.sum(np.asarray(st.neighbor_overflow)))
+            self._window_rho = max(float(self._window_rho), rho)
+            self._window_speed = max(float(self._window_speed), speed)
+            self._worst_rho = max(float(self._worst_rho), rho)
+            self._worst_speed = max(float(self._worst_speed), speed)
+            self._overflow = int(self._overflow) + ov
+        self._pending.clear()
 
     def update(self, n_steps: int, step_stats) -> str | None:
         """Feed one dispatch's StepStats (scalars or (k,) arrays from scan);
-        returns a formatted report line when one is due."""
-        rho = float(np.max(np.asarray(step_stats.max_rho_error_pct)))
-        speed = float(np.max(np.asarray(step_stats.max_speed)))
-        overflow = int(np.sum(np.asarray(step_stats.neighbor_overflow)))
-        self._window_rho = max(self._window_rho, rho)
-        self._window_speed = max(self._window_speed, speed)
-        self.worst_rho_error_pct = max(self.worst_rho_error_pct, rho)
-        self.worst_speed = max(self.worst_speed, speed)
-        self.total_overflow += overflow
+        returns a formatted report line when one is due.  Enqueues NOTHING
+        and never blocks between reports: per-dispatch host work (even one
+        tiny jnp op) serializes the dispatch pipeline through its
+        per-executable latency."""
+        self._pending.append(step_stats)
         self.t += n_steps * self.dt
 
         if self.t - self._last_report_t < self.report_every_sim_s:
             return None
+        self._drain()
         now = time.perf_counter()
         elapsed = now - self._last_report_wall
         tps = int((self.t - self._last_report_t) / self.dt / max(elapsed, 1e-9))
+        wrho = float(self._window_rho)
+        wspeed = float(self._window_speed)
         line = (
             f"sim time: {self.t:.2f}, ticks/s: {tps}, "
-            f"max rho error: {self._window_rho:.3f}% (worst) {self.worst_rho_error_pct:.3f}%, "
-            f"max speed: {self._window_speed:.1f} m/s (worst) {self.worst_speed:.1f} m/s"
+            f"max rho error: {wrho:.3f}% (worst) {float(self._worst_rho):.3f}%, "
+            f"max speed: {wspeed:.1f} m/s (worst) {float(self._worst_speed):.1f} m/s"
         )
-        if self.total_overflow:
-            line += f", NEIGHBOR OVERFLOW: {self.total_overflow}"
+        total_ov = int(self._overflow)
+        if total_ov:
+            line += f", NEIGHBOR OVERFLOW: {total_ov}"
         self._last_report_t = self.t
         self._last_report_wall = now
         self._window_rho = 0.0
