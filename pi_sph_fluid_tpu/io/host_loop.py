@@ -137,7 +137,11 @@ class SimRunner:
         steps_per_dispatch: int | None = None,
         report_stream=None,
         settle_seconds: float = 0.0,
+        resume=None,
     ) -> RunResult:
+        """Run ``sim_seconds`` of simulation.  ``resume`` continues from a
+        previous RunResult.sim instead of re-priming the scene (warm starts
+        skip the step-0 pass and its compile)."""
         cfg = self.cfg
         dt = cfg.dt
         # default batch: one 60 Hz display frame worth of steps
@@ -154,7 +158,7 @@ class SimRunner:
         k = -(-k // self._resort_every) * self._resort_every
         n_dispatch = max(1, int(round(sim_seconds / (k * dt))))
 
-        sim = self._prime(gravity_source.current())
+        sim = resume if resume is not None else self._prime(gravity_source.current())
         if settle_seconds > 0.0:
             # damped pre-roll: bleeds off the non-equilibrium startup
             # transient before the measured/displayed run.  Dispatched in
