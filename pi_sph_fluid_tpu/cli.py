@@ -51,17 +51,29 @@ def _make_gravity(args, cfg):
     raise SystemExit(f"unknown gravity source {args.gravity!r}")
 
 
-def _make_sink(args):
+def _parse_render_shape(s: str) -> tuple[int, int]:
+    try:
+        rows, cols = (int(v) for v in s.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"bad --render-shape {s!r} (want ROWSxCOLS, e.g. 64x128)")
+    if rows % 8:
+        raise SystemExit("--render-shape rows must be a multiple of 8 "
+                         "(page-packed 1-bpp framebuffer)")
+    return rows, cols
+
+
+def _make_sink(args, shape: tuple[int, int]):
     from .io.display import AsyncSink, FileSink, NullSink, PngSink, TerminalSink
 
+    rows, cols = shape
     if args.display == "none":
         return NullSink()
     if args.display == "terminal":
-        return AsyncSink(TerminalSink())
+        return AsyncSink(TerminalSink(rows, cols))
     if args.display.startswith("file:"):
         return AsyncSink(FileSink(args.display[5:]))
     if args.display.startswith("png:"):
-        return AsyncSink(PngSink(args.display[4:]))
+        return AsyncSink(PngSink(args.display[4:], rows, cols))
     if args.display.startswith("ssd1306"):
         from .io.ssd1306 import SSD1306Sink
 
@@ -82,12 +94,14 @@ def cmd_run(args):
     print(f"dt = {cfg.dt:.6f}    (expected ticks/s) {int(1 / cfg.dt)}")
     print(f"n_fluid = {fluid.n}")
     print(f"n_boundary = {braw.n}")
+    render_shape = _parse_render_shape(args.render_shape)
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
                        engine_opts=dict(cap=args.cap),
                        render=args.display != "none",
+                       render_shape=render_shape,
                        resort_every=args.resort_every)
     gravity = _make_gravity(args, cfg)
-    sink = _make_sink(args)
+    sink = _make_sink(args, render_shape)
     try:
         result = runner.run(
             gravity, sink, sim_seconds=args.seconds, realtime=args.realtime,
@@ -162,6 +176,9 @@ def main(argv=None):
     rp.add_argument("--trace-hz", type=float, default=10.0,
                     help="sample rate of a replayed gravity trace")
     rp.add_argument("--rotate-period", type=float, default=4.0)
+    rp.add_argument("--render-shape", default="64x128", metavar="ROWSxCOLS",
+                    help="framebuffer geometry (rows must be a multiple of "
+                         "8); the sink unpacks with the same shape")
     rp.add_argument("--realtime", action="store_true",
                     help="pace to wall-clock like the reference REALTIME mode")
     rp.add_argument("--settle-seconds", type=float, default=0.0,

@@ -87,6 +87,9 @@ class SimRunner:
         # renderer re-lays-out the packed state itself (exact for any state,
         # including sticky-layout mid-group states), the jnp one takes a
         # FluidState view
+        # both renderer callables return (framebuffer, overflow): the window
+        # renderer counts its own window-cap losses, which are folded into
+        # the dispatch stats below (frame corruption must never be silent)
         if not render:
             self._renderer = None
         elif backend == "pallas":
@@ -95,7 +98,8 @@ class SimRunner:
             self._renderer = WindowRenderer(self.engine, *render_shape).render
         else:
             jnp_render = make_renderer(cfg, *render_shape)
-            self._renderer = lambda sim: jnp_render(sim.fluid)
+            self._renderer = lambda sim: (jnp_render(sim.fluid),
+                                          jnp.asarray(0, jnp.int32))
 
         # per-dispatch stats reduce to 3 scalars INSIDE the jit: returning
         # (k,)-stat arrays and reducing them host-side spawned several tiny
@@ -123,7 +127,11 @@ class SimRunner:
             @jax.jit
             def dispatch(sim, g_trace):
                 sim, st = multi(sim, g_trace)
-                return sim, _reduce(st), renderer(sim)
+                frame, render_overflow = renderer(sim)
+                st = _reduce(st)
+                st = st._replace(neighbor_overflow=st.neighbor_overflow
+                                 + render_overflow)
+                return sim, st, frame
 
             self._dispatch = dispatch
 

@@ -124,9 +124,13 @@ def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
     cover = seg_q + 2
     # a row r is covered by segments s with s*seg_q-1 <= r <= s*seg_q+seg_q,
     # i.e. at most 2 segments for seg_q >= 2 (3 for seg_q = 1), so the real
-    # candidate total is <= copies*(n+nb); plus per-segment guard strides
+    # candidate total is <= copies*(n+nb); plus per-segment guard strides.
+    # Each segment's stride is LANE-rounded (build_frame), adding up to
+    # LANE-1 lanes per segment beyond seg_len + cap + 2*LANE — budget a
+    # full LANE per segment for it (3*LANE, not 2*LANE), else an unlucky
+    # row distribution overruns L and late windows index garbage.
     copies = 3 if seg_q == 1 else 2
-    L = _round_up(copies * (n_real + nb) + n_seg * (cap + 2 * LANE) + 2 * LANE, LANE)
+    L = _round_up(copies * (n_real + nb) + n_seg * (cap + 3 * LANE) + 2 * LANE, LANE)
     n_runs = n_seg * (cfg.n_cell_cols * cover * 2 + 1)
     return TripleSpec(tq=tq, qb=qb, cap=cap, seg_q=seg_q, n_layout=n_layout,
                       L=L, n_src=n_layout + nb + 1, n_runs=n_runs)
@@ -201,7 +205,15 @@ def build_frame(
     whi = jnp.concatenate([tce_r[:, 1:], tce_r[:, -1:]], axis=1)
     T = jnp.stack([wlo, whi], axis=-1).reshape(n_cells, 2)
     T = jnp.concatenate([T, jnp.zeros((n_cells, 6), jnp.int32)], axis=1)
-    T = jnp.concatenate([T, jnp.zeros((1, 8), jnp.int32)], axis=0)
+    # runtime guard against the static L budget (belt to triple_spec's
+    # braces): total candidate length must fit in L.  The excess rides in
+    # the spare column 2 of T's trailing row (whose cols 0-1 are the
+    # empty-block window lookup) and is folded into the overflow counter
+    # by block_windows — a budget overrun is counted, never silent.
+    total_len = seg_start[-1] + seg_stride[-1]
+    excess = jnp.maximum(total_len - spec.L, 0)
+    guard_row = jnp.zeros((1, 8), jnp.int32).at[0, 2].set(excess)
+    T = jnp.concatenate([T, guard_row], axis=0)
 
     # ---- run table: trip_src via scatter-max + cummax + one row gather ----
     # runs per segment: m columns x cover rows x {fluid, boundary}, then one
@@ -274,4 +286,7 @@ def block_windows(spec: TripleSpec, cfg: SPHConfig, cells: jnp.ndarray,
     fetch = jnp.where(use_hi, spec.L + w_start - extra, w_start - extra)
     extra_eff = extra - jnp.where(use_hi, 64, 0)
     overflow = jnp.sum(jnp.maximum(extra_eff + w_len - cap, 0)).astype(jnp.int32)
+    # L-budget guard stashed by build_frame (see there): weight x1e6 like
+    # row-capacity losses so a budget overrun is unmistakable in stats
+    overflow = overflow + T[n_cells, 2] * jnp.int32(1_000_000)
     return fetch.reshape(n_tiles, nqb), w_len.reshape(n_tiles, nqb), overflow

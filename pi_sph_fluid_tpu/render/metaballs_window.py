@@ -210,6 +210,9 @@ class WindowRenderer:
         fetch = jnp.where(use_hi, fspec.L + w_start - extra, w_start - extra)
         extra_eff = extra - jnp.where(use_hi, 64, 0)
         overflow = jnp.sum(jnp.maximum(extra_eff + w_len - spec.cap, 0))
+        # L-budget guard stashed by build_frame (triple.py): counted here
+        # like window overflow so a candidate-budget overrun is never silent
+        overflow = overflow + T[cfg.n_cells, 2] * jnp.int32(1_000_000)
         ws = fetch.reshape(spec.n_layout // spec.tq, spec.nqb)
 
         n_tiles = spec.n_layout // spec.tq
@@ -239,7 +242,12 @@ class WindowRenderer:
         )(wsp, wsp, self.q_packed, geo)
         return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
 
-    def render(self, sim) -> jnp.ndarray:
-        field, _ = self.field(sim)
+    def render(self, sim) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(page-packed framebuffer, window overflow count).
+
+        The overflow count rides along so callers can fold it into their
+        stats (SimRunner adds it to neighbor_overflow) — window-cap
+        truncation must never corrupt frames invisibly."""
+        field, overflow = self.field(sim)
         lit = (field >= 1.0).reshape(self.rows, self.cols)
-        return pack_framebuffer(lit, self.rows, self.cols)
+        return pack_framebuffer(lit, self.rows, self.cols), overflow

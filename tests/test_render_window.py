@@ -79,7 +79,9 @@ def test_framebuffer_matches_golden_c(setup):
         packed = eng._initial_packed(fl)
         sim = PackedSim(packed=packed, ids=eng._ids(packed),
                         au=packed[:, 0] * 0, av=packed[:, 0] * 0)
-        img = unpack_framebuffer(np.asarray(render(sim)))
+        fb, ov = render(sim)
+        assert int(ov) == 0
+        img = unpack_framebuffer(np.asarray(fb))
         gimg = unpack_framebuffer(golden["framebuffers"][dump])
         agree = (img == gimg).mean()
         assert agree >= 0.995, f"dump {dump}: pixel agreement {agree:.4f}"

@@ -95,6 +95,27 @@ def test_every_true_pair_in_exactly_one_window(seed, clustered):
             assert not dup, f"block {b} query {q}: duplicated candidates {dup}"
 
 
+def test_l_budget_overrun_is_counted_never_silent():
+    """If the static candidate budget L were ever overrun (ADVICE r2: the
+    per-segment LANE rounding case), the excess must fire the overflow
+    counter (weighted x1e6) instead of letting windows index garbage."""
+    eng, _, _, ctx, overflow = _random_engine_state(3, clustered=True)
+    assert overflow == 0  # the (fixed) budget itself must hold
+    # shrink L artificially and re-run the frame build: the guard row in T
+    # must carry the excess into block_windows' overflow
+    short = eng.spec._replace(L=(eng.spec.L // 2 // 128) * 128)
+    eng.spec = short
+    fl_n = eng.n_real
+    rng = np.random.default_rng(3)
+    pos = rng.uniform([0.05, 0.05], [3.95, 1.95], size=(fl_n, 2)).astype(np.float32)
+    z = jnp.zeros(fl_n, jnp.float32)
+    fl = FluidState(x=jnp.asarray(pos[:, 0]), y=jnp.asarray(pos[:, 1]),
+                    u=z, v=z, m=z + CFG.particle_mass, rho=z + CFG.rho_0, p=z)
+    packed = eng._initial_packed(fl)
+    _, _, overflow2 = jax.jit(eng._relayout)(packed)
+    assert int(overflow2) >= 1_000_000
+
+
 def test_no_particle_lost_in_layout():
     for seed in (0, 1):
         eng, _, pk, ctx, _ = _random_engine_state(seed, clustered=True)
