@@ -95,16 +95,21 @@ class WindowEngine:
         self.interpret = interpret
         self.boundary = boundary
         self.b_cell_starts = boundary_grid.cell_starts
-        # static gather-source rows for boundary + the inert row, shaped like
-        # packed state: [x, y, u=0, v=0, psi, 0, 0, 0]; the force kernel
-        # identifies boundary lanes by rho_eff == 0 (fluid-only viscosity
-        # denominator + fluid-only pressure, `pi_sph_fluid.c:350,362`)
+        # static gather-source rows for boundary + the inert row.  Force
+        # candidates: [x, y, u=0, v=0, psi, cp=0, re=0, a=1.0] — c_press=0
+        # is the boundary's fluid-only pressure (`pi_sph_fluid.c:350`);
+        # a=1.0 with re=0 makes the viscosity denominator the fluid-only
+        # rho_i (`pi_sph_fluid.c:362`; fluid rows carry a=0.5, re=rho/2 for
+        # the pair mean — both exact f32 halvings).  Density candidates are
+        # slim [x, y, psi, 0] rows.
         zb = jnp.zeros_like(boundary.x)
         self.b_geo = jnp.stack(
-            [boundary.x, boundary.y, zb, zb, boundary.m, zb, zb, zb], axis=1)
+            [boundary.x, boundary.y, zb, zb, boundary.m, zb, zb, zb + 1.0],
+            axis=1)
         self.b_geo_d = jnp.stack(
             [boundary.x, boundary.y, boundary.m, zb], axis=1)
-        self.inert_row = jnp.asarray(_INERT_ROW)[None, :]
+        self.inert_row = jnp.asarray(
+            [[INERT_X, INERT_X, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]], jnp.float32)
         self.inert_row_d = jnp.asarray(
             [[INERT_X, INERT_X, 0.0, 0.0]], dtype=jnp.float32)
 
@@ -129,14 +134,16 @@ class WindowEngine:
 
         layout_src, trip_src, T = build_frame(spec, cfg, cell_starts,
                                               self.b_cell_starts)
-        packed_sorted = jnp.concatenate([packed[order], self.inert_row], axis=0)
+        packed_sorted = jnp.concatenate(
+            [packed[order], jnp.asarray(_INERT_ROW)[None, :]], axis=0)
         packed_new = packed_sorted[layout_src]
         cells = jnp.where(packed_new[:, 4] > 0,
                           cell_ids(packed_new[:, 0], packed_new[:, 1], cfg),
                           cfg.n_cells)
-        w_start, w_len, overflow = block_windows(spec, cfg, cells, T)
+        w_start, w_len, flen, overflow = block_windows(spec, cfg, cells, T)
         ctx = TripleCtx(layout_src=layout_src, trip_src=trip_src,
-                        w_start=w_start, w_len=w_len, overflow=overflow)
+                        w_start=w_start, w_len=w_len, flen=flen,
+                        overflow=overflow)
         return packed_new, ctx, overflow
 
     # ------------------------------------------------------------------
@@ -164,24 +171,40 @@ class WindowEngine:
         return jnp.concatenate(
             [a, jnp.pad(a[:, 64:], ((0, 0), (0, 64)))], axis=1)
 
-    def _pair_passes(self, packed, ctx: TripleCtx, g):
+    def _pair_core(self, packed, ctx: TripleCtx, g):
+        """density -> EOS -> forces over one candidate frame; returns
+        (dens (n_layout, 4), acc (n_layout, 2)).
+
+        Two gathers per tick — slim (L, 4) density geometry before the
+        density pass, full (L, 8) force candidates (with the fresh
+        c_press/rho_eff the EOS just produced) after it.  The round-3
+        probes measured every alternative as equal or worse: gather cost
+        is per op (so narrow/bf16 planes save nothing), a merged 8-row
+        array makes the density DMA+dual ~0.7 ms/tick more expensive, and
+        elementwise carried-tick refresh still needs two gathers
+        (au/av + cp/re).  See window_kernels.py module docstring."""
         cfg, spec = self.cfg, self.spec
-        # density candidates: slim [x, y, m~] rows
-        zcol = jnp.zeros((spec.n_layout, 1), jnp.float32)
+        n = packed.shape[0]
+        zcol = jnp.zeros((n, 1), jnp.float32)
+        half_col = jnp.full((n, 1), 0.5, jnp.float32)
         geo_d_src = jnp.concatenate([
             jnp.concatenate([packed[:, 0:2], packed[:, 4:5], zcol], axis=1),
             self.b_geo_d, self.inert_row_d], axis=0)
         geo_d = self._dual(geo_d_src[ctx.trip_src].T)       # (4, 2L)
-        rho = density_window_call(packed, geo_d, ctx.w_start,
+        rho = density_window_call(packed, geo_d, ctx.w_start, ctx.flen,
                                   cfg, spec, interpret=self.interpret)
         dens = self._eos(rho)
-        # force candidates: geometry + fresh per-particle c_press/rho_eff
+        # force candidates: geometry + fresh per-particle c_press/rho_eff/a
         geo_f_src = jnp.concatenate([
-            jnp.concatenate([packed[:, 0:5], dens[:, 2:4], zcol], axis=1),
+            jnp.concatenate([packed[:, 0:5], dens[:, 2:4], half_col], axis=1),
             self.b_geo, self.inert_row], axis=0)
         geo_f = self._dual(geo_f_src[ctx.trip_src].T)       # (8, 2L)
-        acc = forces_window_call(packed, dens, geo_f, ctx.w_start,
+        acc = forces_window_call(packed, dens, geo_f, ctx.w_start, ctx.flen,
                                  g, cfg, spec, interpret=self.interpret)
+        return dens, acc
+
+    def _pair_passes(self, packed, ctx: TripleCtx, g):
+        dens, acc = self._pair_core(packed, ctx, g)
         packed = jnp.concatenate([packed[:, :5], dens[:, 0:2], packed[:, 7:8]], axis=1)
         return packed, acc[:, 0], acc[:, 1]
 

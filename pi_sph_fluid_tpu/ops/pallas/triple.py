@@ -105,6 +105,8 @@ class TripleCtx(NamedTuple):
     trip_src:   (L,) int32 — gather-source row feeding each candidate slot
     w_start:    (n_tiles, nqb) int32 — per-block window starts
     w_len:      (n_tiles, nqb) int32 — true window lengths
+    flen:       (n_tiles, nqb) int32 — true fetch lengths (alignment waste
+                + window length): the kernels compute ceil(flen/128) chunks
     overflow:   () int32 — window lanes beyond cap (must be 0)
     """
 
@@ -112,6 +114,7 @@ class TripleCtx(NamedTuple):
     trip_src: jnp.ndarray
     w_start: jnp.ndarray
     w_len: jnp.ndarray
+    flen: jnp.ndarray
     overflow: jnp.ndarray
 
 
@@ -285,8 +288,10 @@ def block_windows(spec: TripleSpec, cfg: SPHConfig, cells: jnp.ndarray,
     use_hi = extra >= 64
     fetch = jnp.where(use_hi, spec.L + w_start - extra, w_start - extra)
     extra_eff = extra - jnp.where(use_hi, 64, 0)
-    overflow = jnp.sum(jnp.maximum(extra_eff + w_len - cap, 0)).astype(jnp.int32)
+    flen = extra_eff + w_len
+    overflow = jnp.sum(jnp.maximum(flen - cap, 0)).astype(jnp.int32)
     # L-budget guard stashed by build_frame (see there): weight x1e6 like
     # row-capacity losses so a budget overrun is unmistakable in stats
     overflow = overflow + T[n_cells, 2] * jnp.int32(1_000_000)
-    return fetch.reshape(n_tiles, nqb), w_len.reshape(n_tiles, nqb), overflow
+    return (fetch.reshape(n_tiles, nqb), w_len.reshape(n_tiles, nqb),
+            flen.reshape(n_tiles, nqb), overflow)

@@ -1,38 +1,56 @@
 """Fused per-query-block window kernels over the row-triple candidate layout.
 
-Round-2 replacements for the round-1 whole-tile span kernels.  Each
-TQ-query tile is processed as NQB static blocks of QB queries; every block
-fetches exactly one contiguous candidate window with one DMA and runs
-**fully static** pair math: CAP/128 unrolled chunks with compile-time lane
-offsets.  On-chip probing (tools/kern_probe.py) showed DMA issue/wait is
-nearly free while dynamic fori_loop bounds + SMEM scalar reads + dynamic
-VMEM slices cost ~1.4 ms per kernel pass at 100k particles — so the only
-dynamic quantity left in the kernel is each block's DMA source offset.
+Round-3 revision.  The round-3 probes (tools/gather_probe.py,
+tools/skip_probe.py, tools/knockout_probe.py, all measured on the attached
+v5e) pinned the cost model and killed two of the planned levers:
 
-The candidate arrays arrive **dual-plane**: the (k, 2L) array holds the
-gathered candidates in [:, :L] and the same data shifted left by 64 lanes
-in [:, L:].  Window starts are pre-encoded by triple.block_windows as
-128-aligned fetch offsets into whichever plane puts the true window start
-within 64 lanes of the fetch start — halving the average alignment waste
-that would otherwise force an extra 128-lane chunk per block.
+* XLA row-gather cost is **per gather op** (~0.7-0.8 ms in-graph for the
+  bench-scale trip_src at any row width 2-16, f32 or bf16) — so bf16
+  candidate planes and narrow cp/re planes buy nothing, elementwise
+  carried-tick candidate refresh costs the same as re-gathering (it still
+  needs an au/av gather plus a cp/re gather per tick), and merging the
+  density geometry into the force array is a net LOSS (the density pass
+  then DMAs 8 rows instead of 4 and the dual build doubles: measured
+  ~+0.7 ms/tick).  The two-gather-per-tick dataflow — slim (L, 4) density
+  geometry before the density pass, full (L, 8) force candidates after the
+  EOS — is the measured floor.
+* **Per-block ``pl.when`` chunk dispatch is strongly negative**: computing
+  only ceil(flen/128) of the cap/128 chunks costs ~+275 ns per block-branch
+  on v5e (+3.5 ms/tick at 100k, measured with dispatch on vs off), far more
+  than the skipped VPU work saves.  ``_chunk_dispatch`` is kept as the
+  documented dead lever with the always-full default.
 
-No per-lane masks and no length bookkeeping: a lane outside the true window
-is a real particle >= 1 whole cell away (or >= 2 rows), an inert segment pad
-(x = -1e6), or stale stage data against inert pad queries; in every case
-the Wendland support clamp t1 = max(1 - q/2, 0) and the pad queries' own
-x = -1e6 annihilate the contribution.  Self-pairs need no exclusion: the
-density self-term IS the reference's explicit m*W(0)
-(`pi_sph_fluid.c:274-275`), and force self-terms vanish (dx = dy = 0).
+What round 3 did keep:
+
+* the per-candidate viscosity-denominator weight ``a`` (0.5 fluid, 1.0
+  boundary) rides in force-candidate row 7, turning the reference's
+  boundary asymmetry (`pi_sph_fluid.c:362`) into one fma:
+  denom = a_j*rho_i + re_j (replacing a compare+select per lane; exact:
+  x0.5 and rho/2 are exact f32 scalings);
+* the ``denom > 0`` guard is dropped from the viscosity predicate: denom
+  can only be 0 for pad queries (rho_i = 0 with re_j = 0), whose outputs
+  are zeroed by the final q_valid select — a NaN/Inf produced on a pad
+  query's lanes never escapes a select, and real queries always have
+  denom >= a_j*rho_i > 0.
+
+Round-2 foundations unchanged: fully static chunk structure (dynamic
+fori_loop bounds + SMEM scalar reads in the math path measured
+~1.4 ms/pass), no per-lane masks (out-of-window lanes are support-killed
+by construction; the density self-term IS the reference's explicit m*W(0),
+`pi_sph_fluid.c:274-275`; force self-terms vanish at dx = dy = 0),
+dual-plane 64-lane-shifted fetch encoding, cross-tile double buffering
+with unconditional DMA pairs (predicated start/wait pairs unbalance DMA
+semaphores — the round-1 hardware NaN bug).
 
 Physics matches the reference pass-for-pass:
   density + Tait EOS           `pi_sph_fluid.c:263-301`
   symmetric pressure + Macklin artificial pressure + Monaghan viscosity
                                `pi_sph_fluid.c:303-373`
 with the boundary asymmetries (fluid-only pressure, fluid-rho viscosity
-denominator, `pi_sph_fluid.c:350,362`) folded into the per-candidate values
-c_press_j (p/rho^2 fluid, 0 boundary) and rho_eff_j (rho/2 fluid, 0
-boundary); both are computed once per particle, not once per pair lane.
-The two viscosity divides fuse into one: mu/denom = h*xy_uv /
+denominator, `pi_sph_fluid.c:350,362`) folded into per-candidate values
+c_press_j (p/rho^2 fluid, 0 boundary), re_j (rho/2 fluid, 0 boundary) and
+a_j; all computed once per particle, not once per pair lane.  The two
+viscosity divides fuse into one: mu/denom = h*xy_uv /
 ((r^2 + eps*h^2) * denom).
 """
 
@@ -50,12 +68,17 @@ from ...core.pair_terms import artificial_pressure_ref_w
 from .triple import TripleSpec
 
 X, Y, U, V, M = range(5)
-CP, RE = 5, 6
+CP, RE, A = 5, 6, 7      # force-candidate rows: c_press, rho_eff, denom weight
 DX, DY, DM = 0, 1, 2     # slim density-array rows
 NFIELDS = 8
 LANE = 128
 
 __all__ = ["density_window_call", "forces_window_call"]
+
+# Measured dead lever (see module docstring): per-block pl.when dispatch on
+# the true fetch length costs ~+275 ns/block on v5e — far more than the
+# skipped chunks save.  Kept switchable for future hardware probes only.
+CHUNK_DISPATCH = False
 
 
 def _unnorm_wref(cfg: SPHConfig) -> float:
@@ -64,32 +87,39 @@ def _unnorm_wref(cfg: SPHConfig) -> float:
     return float(artificial_pressure_ref_w(cfg)) / float(cfg.kernel_norm)
 
 
-def _start_windows(spec, hbm, stage, sem, get_start, slot):
+def _start_windows(spec, pairs, get_start, slot):
+    """Issue one DMA per (block, candidate array).  pairs: list of
+    (hbm_ref, stage_ref, sem_ref); each copy moves ALL rows of its array —
+    Mosaic requires HBM row slices to be 8-aligned, so sub-row DMAs are
+    not expressible (keep candidate arrays exactly as tall as needed)."""
     for b in range(spec.nqb):
         a = pl.multiple_of(get_start(b), LANE)   # pre-aligned by block_windows
 
         def _go(a=a, b=b):
-            pltpu.make_async_copy(
-                hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
-            ).start()
+            for hbm, stage, sem in pairs:
+                pltpu.make_async_copy(
+                    hbm.at[:, pl.ds(a, spec.cap)],
+                    stage.at[slot, b], sem.at[slot, b],
+                ).start()
 
         _go()
 
 
-def _wait_windows(spec, hbm, stage, sem, get_start, slot):
+def _wait_windows(spec, pairs, get_start, slot):
     for b in range(spec.nqb):
         a = pl.multiple_of(get_start(b), LANE)
 
         def _wait(a=a, b=b):
-            pltpu.make_async_copy(
-                hbm.at[:, pl.ds(a, spec.cap)], stage.at[slot, b], sem.at[slot, b]
-            ).wait()
+            for hbm, stage, sem in pairs:
+                pltpu.make_async_copy(
+                    hbm.at[:, pl.ds(a, spec.cap)],
+                    stage.at[slot, b], sem.at[slot, b],
+                ).wait()
 
         _wait()
 
 
-def _doublebuffer(spec, interpret, n_tiles, i, ib, hbm, stage, sem,
-                  w_start, w_start_n):
+def _doublebuffer(spec, interpret, n_tiles, i, ib, pairs, w_start, w_start_n):
     """Cross-tile double buffering: tile 0 fetches its own windows, every
     tile prefetches tile i+1's, all unconditional (predicated start/wait
     pairs unbalance DMA semaphores — the round-1 hardware NaN bug)."""
@@ -97,20 +127,41 @@ def _doublebuffer(spec, interpret, n_tiles, i, ib, hbm, stage, sem,
     nxt = lambda b: jnp.where(ib == 7, w_start_n[0, b],
                               w_start[jnp.minimum(ib + 1, 7), b])
     if interpret:
-        _start_windows(spec, hbm, stage, sem, cur, 0)
+        _start_windows(spec, pairs, cur, 0)
         return 0, cur
 
     slot = i % 2
 
     @pl.when(i == 0)
     def _():
-        _start_windows(spec, hbm, stage, sem, cur, slot)
+        _start_windows(spec, pairs, cur, slot)
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        _start_windows(spec, hbm, stage, sem, nxt, (i + 1) % 2)
+        _start_windows(spec, pairs, nxt, (i + 1) % 2)
 
     return slot, cur
+
+
+def _chunk_dispatch(flen_b, n_chunks, body):
+    """Chunk-count dispatch point.  Default (CHUNK_DISPATCH=False): always
+    compute every chunk — the branch-per-block form measured ~+275 ns/block
+    on v5e (tools/skip_probe.py), losing far more than the skipped VPU work
+    saves.  The adaptive form is kept only for probing other hardware."""
+    if not CHUNK_DISPATCH or n_chunks == 1:
+        body(n_chunks)
+        return
+    for k in range(1, n_chunks + 1):
+        if k == 1:
+            cond = flen_b <= LANE
+        elif k < n_chunks:
+            cond = (flen_b > (k - 1) * LANE) & (flen_b <= k * LANE)
+        else:
+            cond = flen_b > (k - 1) * LANE
+
+        @pl.when(cond)
+        def _(k=k):
+            body(k)
 
 
 def _pad8(arr):
@@ -131,7 +182,8 @@ def _span_specs(spec):
 
 
 def _density_kernel(
-    w_start, w_start_n,                   # (8, nqb) SMEM blocks (+ next-block)
+    w_start, w_start_n,                   # (8, nqb) SMEM blocks (+ next-tile)
+    flen_s,                               # (8, nqb) SMEM true fetch lengths
     q_ref,                                # (tq, 8) queries
     geo_hbm,                              # (4, 2L) x, y, m~, 0 (dual-plane)
     out_ref,                              # (tq, 1): rho
@@ -141,9 +193,10 @@ def _density_kernel(
     i = pl.program_id(0)
     ib = i % 8
     qb = spec.qb
+    pairs = [(geo_hbm, stage, sem)]
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
-                              geo_hbm, stage, sem, w_start, w_start_n)
-    _wait_windows(spec, geo_hbm, stage, sem, cur, slot)
+                              pairs, w_start, w_start_n)
+    _wait_windows(spec, pairs, cur, slot)
 
     norm = jnp.float32(cfg.kernel_norm)
     two_inv_h = jnp.float32(2.0) / jnp.float32(cfg.h)
@@ -154,35 +207,41 @@ def _density_kernel(
     qx_t = q_ref[:, X].reshape(spec.tq, 1)
     qy_t = q_ref[:, Y].reshape(spec.tq, 1)
 
+    n_chunks = spec.cap // LANE
     for b in range(spec.nqb):
         qlo = b * qb
         qx = qx_t[qlo:qlo + qb]          # free static sub-slices
         qy = qy_t[qlo:qlo + qb]
-        acc = jnp.zeros((qb, LANE), jnp.float32)
-        for c in range(spec.cap // LANE):
-            lo = c * LANE
-            cx = stage[slot, b, DX, lo:lo + LANE].reshape(1, LANE)
-            cy = stage[slot, b, DY, lo:lo + LANE].reshape(1, LANE)
-            cm = stage[slot, b, DM, lo:lo + LANE].reshape(1, LANE)
-            dx = qx - cx
-            dy = qy - cy
-            r = jnp.sqrt(dx * dx + dy * dy)
-            t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)  # support clamp == q<2
-            t1sq = t1 * t1
-            acc = acc + (cm * (t1sq * t1sq)) * (1.0 + two_inv_h * r)
-        # self term included; Tait EOS + p/rho^2 run in XLA on the output
-        out_ref[qlo:qlo + qb, 0:1] = norm * jnp.sum(acc, axis=1, keepdims=True)
+
+        def body(used, b=b, qx=qx, qy=qy, qlo=qlo):
+            acc = jnp.zeros((qb, LANE), jnp.float32)
+            for c in range(used):
+                lo = c * LANE
+                cx = stage[slot, b, DX, lo:lo + LANE].reshape(1, LANE)
+                cy = stage[slot, b, DY, lo:lo + LANE].reshape(1, LANE)
+                cm = stage[slot, b, DM, lo:lo + LANE].reshape(1, LANE)
+                dx = qx - cx
+                dy = qy - cy
+                r = jnp.sqrt(dx * dx + dy * dy)
+                t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)  # support == q<2
+                t1sq = t1 * t1
+                acc = acc + (cm * (t1sq * t1sq)) * (1.0 + two_inv_h * r)
+            # self term included; Tait EOS + p/rho^2 run in XLA on the output
+            out_ref[qlo:qlo + qb, 0:1] = norm * jnp.sum(acc, axis=1, keepdims=True)
+
+        _chunk_dispatch(flen_s[ib, b], n_chunks, body)
 
 
-def density_window_call(q_packed, geo_d, ctx_start, cfg: SPHConfig,
+def density_window_call(q_packed, geo_d, ctx_start, ctx_flen, cfg: SPHConfig,
                         spec: TripleSpec, interpret: bool = False):
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
+    fl = _pad8(ctx_flen)
     here, ahead = _span_specs(spec)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            here, ahead,
+            here, ahead, here,
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -199,7 +258,7 @@ def density_window_call(q_packed, geo_d, ctx_start, cfg: SPHConfig,
         out_shape=jax.ShapeDtypeStruct((spec.n_layout, 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws, ws, q_packed, geo_d)
+    )(ws, ws, fl, q_packed, geo_d)
 
 
 # ---------------------------------------------------------------------------
@@ -209,10 +268,11 @@ def density_window_call(q_packed, geo_d, ctx_start, cfg: SPHConfig,
 
 def _forces_kernel(
     w_start, w_start_n,
+    flen_s,                               # (8, nqb) SMEM true fetch lengths
     g_ref,                                # (8, 2) SMEM gravity
     q_ref,                                # (tq, 8)
     d_ref,                                # (tq, 4) rho, p, cpress, rhoeff
-    geo_hbm,                              # (8, 2L) x,y,u,v,m~,cpress,rhoeff,0
+    geo_hbm,                              # (8, 2L) x,y,u,v,m~,cp,re,a (dual)
     out_ref,                              # (tq, 2): du_dt, dv_dt
     stage, sem,
     *, cfg: SPHConfig, spec: TripleSpec, n_tiles: int, interpret: bool,
@@ -222,9 +282,10 @@ def _forces_kernel(
     i = pl.program_id(0)
     ib = i % 8
     qb = spec.qb
+    pairs = [(geo_hbm, stage, sem)]
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
-                              geo_hbm, stage, sem, w_start, w_start_n)
-    _wait_windows(spec, geo_hbm, stage, sem, cur, slot)
+                              pairs, w_start, w_start_n)
+    _wait_windows(spec, pairs, cur, slot)
 
     h = jnp.float32(cfg.h)
     half_inv_h = jnp.float32(0.5) / h
@@ -247,6 +308,7 @@ def _forces_kernel(
     q_rho_t = d_ref[:, 0].reshape(spec.tq, 1)
     q_press_t = d_ref[:, 2].reshape(spec.tq, 1)  # p/rho^2, precomputed
 
+    n_chunks = spec.cap // LANE
     for b in range(spec.nqb):
         qlo = b * qb
         qx = qx_t[qlo:qlo + qb]
@@ -257,60 +319,71 @@ def _forces_kernel(
         q_rho = q_rho_t[qlo:qlo + qb]
         q_press = q_press_t[qlo:qlo + qb]
 
-        ax = jnp.zeros((qb, LANE), jnp.float32)
-        ay = jnp.zeros((qb, LANE), jnp.float32)
-        for c in range(spec.cap // LANE):
-            lo = c * LANE
-            cx = stage[slot, b, X, lo:lo + LANE].reshape(1, LANE)
-            cy = stage[slot, b, Y, lo:lo + LANE].reshape(1, LANE)
-            cu = stage[slot, b, U, lo:lo + LANE].reshape(1, LANE)
-            cv = stage[slot, b, V, lo:lo + LANE].reshape(1, LANE)
-            cm = stage[slot, b, M, lo:lo + LANE].reshape(1, LANE)
-            ccp = stage[slot, b, CP, lo:lo + LANE].reshape(1, LANE)
-            cre = stage[slot, b, RE, lo:lo + LANE].reshape(1, LANE)
+        def body(used, b=b, qx=qx, qy=qy, qu=qu, qv=qv, qm=qm,
+                 q_rho=q_rho, q_press=q_press, qlo=qlo):
+            ax = jnp.zeros((qb, LANE), jnp.float32)
+            ay = jnp.zeros((qb, LANE), jnp.float32)
+            for c in range(used):
+                lo = c * LANE
+                cx = stage[slot, b, X, lo:lo + LANE].reshape(1, LANE)
+                cy = stage[slot, b, Y, lo:lo + LANE].reshape(1, LANE)
+                cu = stage[slot, b, U, lo:lo + LANE].reshape(1, LANE)
+                cv = stage[slot, b, V, lo:lo + LANE].reshape(1, LANE)
+                cm = stage[slot, b, M, lo:lo + LANE].reshape(1, LANE)
+                ccp = stage[slot, b, CP, lo:lo + LANE].reshape(1, LANE)
+                cre = stage[slot, b, RE, lo:lo + LANE].reshape(1, LANE)
+                ca = stage[slot, b, A, lo:lo + LANE].reshape(1, LANE)
 
-            dx = qx - cx
-            dy = qy - cy
-            du = qu - cu
-            dv = qv - cv
-            r2 = dx * dx + dy * dy
-            r = jnp.sqrt(r2)
-            t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)
-            t1sq = t1 * t1
-            t13 = t1sq * t1
-            w_un = (t1sq * t1sq) * (1.0 + two_inv_h * r)
-            # symmetric pressure (`pi_sph_fluid.c:321`); c_press is 0 on
-            # boundary lanes -> fluid-only term (`pi_sph_fluid.c:350`)
-            press = q_press + ccp
-            # Macklin artificial pressure (`pi_sph_fluid.c:325`)
-            w2 = w_un * w_un
-            artif = k_ap4 * (w2 * w2)
-            # Monaghan viscosity, both divides fused into one
-            xy_uv = dx * du + dy * dv
-            denom = jnp.where(cre > 0.0, 0.5 * q_rho + cre, q_rho)
-            den = (r2 + eps_h2) * denom
-            visc = jnp.where((xy_uv < 0.0) & (denom > 0.0),
-                             (nach * xy_uv) / den, 0.0)
-            coef = cm * (press + artif + visc) * t13
-            ax = ax + coef * dx
-            ay = ay + coef * dy
+                dx = qx - cx
+                dy = qy - cy
+                du = qu - cu
+                dv = qv - cv
+                r2 = dx * dx + dy * dy
+                r = jnp.sqrt(r2)
+                t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)
+                t1sq = t1 * t1
+                t13 = t1sq * t1
+                w_un = (t1sq * t1sq) * (1.0 + two_inv_h * r)
+                # symmetric pressure (`pi_sph_fluid.c:321`); c_press is 0 on
+                # boundary lanes -> fluid-only term (`pi_sph_fluid.c:350`)
+                press = q_press + ccp
+                # Macklin artificial pressure (`pi_sph_fluid.c:325`)
+                w2 = w_un * w_un
+                artif = k_ap4 * (w2 * w2)
+                # Monaghan viscosity, both divides fused into one; the
+                # pair-mean vs fluid-only denominator asymmetry
+                # (`pi_sph_fluid.c:333,362`) is the per-candidate weight a:
+                # denom = 0.5*rho_i + rho_j/2 fluid, rho_i boundary.
+                # No denom > 0 guard: denom = 0 only for pad queries
+                # (rho_i = 0), whose lanes are zeroed by the q_valid select
+                # below — NaN/Inf cannot escape a select on TPU
+                xy_uv = dx * du + dy * dv
+                denom = ca * q_rho + cre
+                den = (r2 + eps_h2) * denom
+                visc = jnp.where(xy_uv < 0.0, (nach * xy_uv) / den, 0.0)
+                coef = cm * (press + artif + visc) * t13
+                ax = ax + coef * dx
+                ay = ay + coef * dy
 
-        sx = jnp.sum(ax, axis=1, keepdims=True)
-        sy = jnp.sum(ay, axis=1, keepdims=True)
-        q_valid = qm > 0.0
-        out_ref[qlo:qlo + qb, 0:1] = jnp.where(q_valid, gx + gfac * sx, 0.0)
-        out_ref[qlo:qlo + qb, 1:2] = jnp.where(q_valid, gy + gfac * sy, 0.0)
+            sx = jnp.sum(ax, axis=1, keepdims=True)
+            sy = jnp.sum(ay, axis=1, keepdims=True)
+            q_valid = qm > 0.0
+            out_ref[qlo:qlo + qb, 0:1] = jnp.where(q_valid, gx + gfac * sx, 0.0)
+            out_ref[qlo:qlo + qb, 1:2] = jnp.where(q_valid, gy + gfac * sy, 0.0)
+
+        _chunk_dispatch(flen_s[ib, b], n_chunks, body)
 
 
-def forces_window_call(q_packed, dens_out, geo_f, ctx_start, g,
+def forces_window_call(q_packed, dens_out, geo_f, ctx_start, ctx_flen, g,
                        cfg: SPHConfig, spec: TripleSpec, interpret: bool = False):
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
+    fl = _pad8(ctx_flen)
     here, ahead = _span_specs(spec)
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
-            here, ahead,
+            here, ahead, here,
             # gravity as (8, 2) SMEM: a (1, 2) block intermittently read
             # garbage on v5e (round-1 finding)
             pl.BlockSpec((8, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -332,4 +405,4 @@ def forces_window_call(q_packed, dens_out, geo_f, ctx_start, g,
         out_shape=jax.ShapeDtypeStruct((spec.n_layout, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws, ws, g2, q_packed, dens_out, geo_f)
+    )(ws, ws, fl, g2, q_packed, dens_out, geo_f)

@@ -49,9 +49,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SPHConfig
 from ..state import BoundaryState, FluidState
-from ..models.engine_v3 import WindowEngine, _INERT_ROW
+from ..models.engine_v3 import WindowEngine
 from ..ops.grid import GridContext
-from ..ops.pallas.window_kernels import density_window_call, forces_window_call
 from .domain import (DomainState, _exchange_impl, _inert, _perm_lists,
                      _round_up, _take_first)
 
@@ -135,7 +134,11 @@ class WindowDomain:
         nb_cap = _round_up(max(nb_cap, 1), 8)
         self.nb_cap = nb_cap
         n_lcells = self.lcfg.n_cells
+        # engine_v3 candidate layouts: force rows [x, y, 0, 0, psi, 0, 0,
+        # a=1], slim density rows [x, y, psi, 0]; pad rows are inert
+        # (psi = 0, far-off position)
         b_geo = np.zeros((d, nb_cap, 8), np.float32)
+        b_geo[:, :, 7] = 1.0
         b_geo_d = np.zeros((d, nb_cap, 4), np.float32)
         b_csr = np.zeros((d, n_lcells + 1), np.int32)
         for dev, (sel, lcell) in enumerate(slices):
@@ -169,8 +172,10 @@ class WindowDomain:
         eng.n_real = n_local
         eng.spec = self.spec
         eng.interpret = interpret
-        eng.inert_row = jnp.asarray(_INERT_ROW)[None, :]
-        eng.inert_row_d = jnp.asarray([[INERT_X, INERT_X, 0.0, 0.0]], jnp.float32)
+        eng.inert_row = jnp.asarray(
+            [[INERT_X, INERT_X, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]], jnp.float32)
+        eng.inert_row_d = jnp.asarray(
+            [[INERT_X, INERT_X, 0.0, 0.0]], jnp.float32)
         self._eng_template = eng
 
     # ------------------------------------------------------------------
@@ -291,23 +296,10 @@ class WindowDomain:
             cat, ids_f, ov_h1 = with_ghosts(list(fluid))
             packed = self._build_packed(eng, cat, ids_f, shift)
             pk, ctx, ov_w1 = eng._relayout(packed)
-            zcol = jnp.zeros((spec.n_layout, 1), jnp.float32)
-            geo_d_src = jnp.concatenate([
-                jnp.concatenate([pk[:, 0:2], pk[:, 4:5], zcol], axis=1),
-                eng.b_geo_d, eng.inert_row_d], axis=0)
-            geo_d = eng._dual(geo_d_src[ctx.trip_src].T)
-            rho = density_window_call(pk, geo_d, ctx.w_start, lcfg, spec,
-                                      interpret=self.interpret)
-            dens4 = eng._eos(rho)
             # ghost densities are locally complete for every candidate an
             # owned query can reach (see module docstring), so the force
             # pass needs no second exchange
-            geo_f_src = jnp.concatenate([
-                jnp.concatenate([pk[:, 0:5], dens4[:, 2:4], zcol], axis=1),
-                eng.b_geo, eng.inert_row], axis=0)
-            geo_f = eng._dual(geo_f_src[ctx.trip_src].T)
-            acc = forces_window_call(pk, dens4, geo_f, ctx.w_start, g, lcfg,
-                                     spec, interpret=self.interpret)
+            dens4, acc = eng._pair_core(pk, ctx, g)
             owner = pk[:, 7] >= 0.0
             arrays = [pk[:, j] for j in range(8)] \
                 + [dens4[:, 0], dens4[:, 1], acc[:, 0], acc[:, 1]]
@@ -421,7 +413,8 @@ class WindowDomain:
             idx = order[:cap]
             return idx, mask[idx]
 
-        def local_group(fluid_flat, ids, au, av, b_csr, b_geo, b_geo_d, g_group):
+        def local_group(fluid_flat, ids, au, av, b_csr, b_geo, b_geo_d,
+                        g_group):
             eng = self._engine(b_csr, b_geo, b_geo_d)
             fluid = FluidState(*fluid_flat)
             my = jax.lax.axis_index(self.axis)
@@ -495,23 +488,8 @@ class WindowDomain:
             ghost_l = slot_of_input[slab_cap + jnp.arange(halo_cap)]
             ghost_r = slot_of_input[slab_cap + halo_cap + jnp.arange(halo_cap)]
 
-            zcol = jnp.zeros((spec.n_layout, 1), jnp.float32)
-
             def pair_passes(pk, g):
-                geo_d_src = jnp.concatenate([
-                    jnp.concatenate([pk[:, 0:2], pk[:, 4:5], zcol], axis=1),
-                    eng.b_geo_d, eng.inert_row_d], axis=0)
-                geo_d = eng._dual(geo_d_src[ctx.trip_src].T)
-                rho = density_window_call(pk, geo_d, ctx.w_start, lcfg, spec,
-                                          interpret=self.interpret)
-                dens4 = eng._eos(rho)
-                geo_f_src = jnp.concatenate([
-                    jnp.concatenate([pk[:, 0:5], dens4[:, 2:4], zcol], axis=1),
-                    eng.b_geo, eng.inert_row], axis=0)
-                geo_f = eng._dual(geo_f_src[ctx.trip_src].T)
-                acc = forces_window_call(pk, dens4, geo_f, ctx.w_start, g,
-                                         lcfg, spec, interpret=self.interpret)
-                return dens4, acc
+                return eng._pair_core(pk, ctx, g)
 
             def tick_stats(pk, dens4, ovf):
                 rho0 = jnp.float32(cfg.rho_0)

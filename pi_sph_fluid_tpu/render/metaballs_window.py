@@ -31,8 +31,9 @@ from ..core.kernels import kernel_w_scalar
 from ..models.scene import pixel_centers
 from ..ops.grid import cell_ids
 from ..ops.pallas.triple import TripleSpec, build_frame
-from ..ops.pallas.window_kernels import (_doublebuffer, _pad8, _span_specs,
-                                         _wait_windows, LANE)
+from ..ops.pallas.window_kernels import (_chunk_dispatch, _doublebuffer,
+                                         _pad8, _span_specs, _wait_windows,
+                                         LANE)
 from .metaballs import pack_framebuffer
 
 __all__ = ["WindowRenderer"]
@@ -42,6 +43,7 @@ INERT_PX = -1e6
 
 def _field_kernel(
     w_start, w_start_n,
+    flen_s,           # (8, nqb) SMEM true fetch lengths
     q_ref,            # (tq, 8) pixel tile: x, y in cols 0-1, valid in col 4
     geo_hbm,          # (4, 2L) fluid candidates: x, y, m~, 0 (dual-plane)
     out_ref,          # (tq, 1): unnormalized field
@@ -51,36 +53,42 @@ def _field_kernel(
     i = pl.program_id(0)
     ib = i % 8
     qb = spec.qb
+    pairs = [(geo_hbm, stage, sem)]
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
-                              geo_hbm, stage, sem, w_start, w_start_n)
-    _wait_windows(spec, geo_hbm, stage, sem, cur, slot)
+                              pairs, w_start, w_start_n)
+    _wait_windows(spec, pairs, cur, slot)
 
     two_inv_h = jnp.float32(2.0) / jnp.float32(cfg.h)
     half_inv_h = jnp.float32(0.5) / jnp.float32(cfg.h)
     qx_t = q_ref[:, 0].reshape(spec.tq, 1)
     qy_t = q_ref[:, 1].reshape(spec.tq, 1)
 
+    n_chunks = spec.cap // LANE
     for b in range(spec.nqb):
         qlo = b * qb
         qx = qx_t[qlo:qlo + qb]
         qy = qy_t[qlo:qlo + qb]
-        acc = jnp.zeros((qb, LANE), jnp.float32)
-        for c in range(spec.cap // LANE):
-            lo = c * LANE
-            cx = stage[slot, b, 0, lo:lo + LANE].reshape(1, LANE)
-            cy = stage[slot, b, 1, lo:lo + LANE].reshape(1, LANE)
-            cm = stage[slot, b, 2, lo:lo + LANE].reshape(1, LANE)
-            dx = qx - cx
-            dy = qy - cy
-            r = jnp.sqrt(dx * dx + dy * dy)
-            t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)
-            t1sq = t1 * t1
-            # unweighted sum (pixels count particles, not mass); the m > 0
-            # factor keeps boundary slots out if a merged array is reused —
-            # here candidates are fluid-only, m acts as the validity gate
-            valid = jnp.where(cm > 0.0, 1.0, 0.0)
-            acc = acc + (valid * (t1sq * t1sq)) * (1.0 + two_inv_h * r)
-        out_ref[qlo:qlo + qb, 0:1] = jnp.sum(acc, axis=1, keepdims=True)
+
+        def body(used, b=b, qx=qx, qy=qy, qlo=qlo):
+            acc = jnp.zeros((qb, LANE), jnp.float32)
+            for c in range(used):
+                lo = c * LANE
+                cx = stage[slot, b, 0, lo:lo + LANE].reshape(1, LANE)
+                cy = stage[slot, b, 1, lo:lo + LANE].reshape(1, LANE)
+                cm = stage[slot, b, 2, lo:lo + LANE].reshape(1, LANE)
+                dx = qx - cx
+                dy = qy - cy
+                r = jnp.sqrt(dx * dx + dy * dy)
+                t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)
+                t1sq = t1 * t1
+                # unweighted sum (pixels count particles, not mass); the
+                # m > 0 factor keeps boundary slots out if a merged array is
+                # reused — here candidates are fluid-only, m = validity gate
+                valid = jnp.where(cm > 0.0, 1.0, 0.0)
+                acc = acc + (valid * (t1sq * t1sq)) * (1.0 + two_inv_h * r)
+            out_ref[qlo:qlo + qb, 0:1] = jnp.sum(acc, axis=1, keepdims=True)
+
+        _chunk_dispatch(flen_s[ib, b], n_chunks, body)
 
 
 class WindowRenderer:
@@ -209,7 +217,8 @@ class WindowRenderer:
         use_hi = extra >= 64
         fetch = jnp.where(use_hi, fspec.L + w_start - extra, w_start - extra)
         extra_eff = extra - jnp.where(use_hi, 64, 0)
-        overflow = jnp.sum(jnp.maximum(extra_eff + w_len - spec.cap, 0))
+        flen = extra_eff + w_len
+        overflow = jnp.sum(jnp.maximum(flen - spec.cap, 0))
         # L-budget guard stashed by build_frame (triple.py): counted here
         # like window overflow so a candidate-budget overrun is never silent
         overflow = overflow + T[cfg.n_cells, 2] * jnp.int32(1_000_000)
@@ -217,11 +226,12 @@ class WindowRenderer:
 
         n_tiles = spec.n_layout // spec.tq
         wsp = _pad8(ws)
+        flp = _pad8(flen.reshape(n_tiles, spec.nqb))
         here, ahead = _span_specs(spec)
         grid_spec = pl.GridSpec(
             grid=(n_tiles,),
             in_specs=[
-                here, ahead,
+                here, ahead, here,
                 pl.BlockSpec((spec.tq, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
@@ -239,7 +249,7 @@ class WindowRenderer:
             out_shape=jax.ShapeDtypeStruct((spec.n_layout, 1), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
-        )(wsp, wsp, self.q_packed, geo)
+        )(wsp, wsp, flp, self.q_packed, geo)
         return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
 
     def render(self, sim) -> tuple[jnp.ndarray, jnp.ndarray]:
