@@ -72,7 +72,11 @@ class SimRunner:
             self.engine = WindowEngine(cfg, boundary, bgrid, fluid.n,
                                        **(engine_opts or {}))
             self._prime = lambda g: self.engine.prime(fluid, g)
-            multi = self.engine.make_multi_step(resort_every=resort_every)
+            # with a renderer, the multi-step also returns the last relayout
+            # frame so the renderer reuses the engine's candidate structure
+            # instead of re-sorting the fluid per frame (VERDICT r2 weak #4)
+            multi = self.engine.make_multi_step(resort_every=resort_every,
+                                                return_frame=render)
             self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
         elif backend == "reference":
             self.engine = None
@@ -87,19 +91,22 @@ class SimRunner:
         # renderer re-lays-out the packed state itself (exact for any state,
         # including sticky-layout mid-group states), the jnp one takes a
         # FluidState view
-        # both renderer callables return (framebuffer, overflow): the window
+        # renderer callables return (framebuffer, overflow): the window
         # renderer counts its own window-cap losses, which are folded into
-        # the dispatch stats below (frame corruption must never be silent)
+        # the dispatch stats below (frame corruption must never be silent).
+        # On the pallas backend the renderer consumes the engine's relayout
+        # frame (render_from_frame); the jnp renderer takes only the state.
         if not render:
             self._renderer = None
         elif backend == "pallas":
             from ..render.metaballs_window import WindowRenderer
 
-            self._renderer = WindowRenderer(self.engine, *render_shape).render
+            wrend = WindowRenderer(self.engine, *render_shape)
+            self._renderer = wrend.render_from_frame
         else:
             jnp_render = make_renderer(cfg, *render_shape)
-            self._renderer = lambda sim: (jnp_render(sim.fluid),
-                                          jnp.asarray(0, jnp.int32))
+            self._renderer = lambda sim, frame: (jnp_render(sim.fluid),
+                                                 jnp.asarray(0, jnp.int32))
 
         # per-dispatch stats reduce to 3 scalars INSIDE the jit: returning
         # (k,)-stat arrays and reducing them host-side spawned several tiny
@@ -123,15 +130,20 @@ class SimRunner:
             self._dispatch = dispatch
         else:
             renderer = self._renderer
+            with_frame = backend == "pallas"
 
             @jax.jit
             def dispatch(sim, g_trace):
-                sim, st = multi(sim, g_trace)
-                frame, render_overflow = renderer(sim)
+                if with_frame:
+                    sim, st, frame_ctx = multi(sim, g_trace)
+                else:
+                    sim, st = multi(sim, g_trace)
+                    frame_ctx = None
+                fb, render_overflow = renderer(sim, frame_ctx)
                 st = _reduce(st)
                 st = st._replace(neighbor_overflow=st.neighbor_overflow
                                  + render_overflow)
-                return sim, st, frame
+                return sim, st, fb
 
             self._dispatch = dispatch
 

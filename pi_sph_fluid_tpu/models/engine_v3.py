@@ -142,7 +142,7 @@ class WindowEngine:
                           cfg.n_cells)
         w_start, w_len, flen, overflow = block_windows(spec, cfg, cells, T)
         ctx = TripleCtx(layout_src=layout_src, trip_src=trip_src,
-                        w_start=w_start, w_len=w_len, flen=flen,
+                        w_start=w_start, w_len=w_len, flen=flen, T=T,
                         overflow=overflow)
         return packed_new, ctx, overflow
 
@@ -243,6 +243,17 @@ class WindowEngine:
     # ------------------------------------------------------------------
     def make_step(self, damping: float = 1.0):
         """One tick (kick-drift-forces-kick, `pi_sph_fluid.c:614-644`)."""
+        step_ctx = self._make_step_ctx(damping)
+
+        def step(sim: PackedSim, g):
+            sim, stats, _ = step_ctx(sim, g)
+            return sim, stats
+
+        return step
+
+    def _make_step_ctx(self, damping: float = 1.0):
+        """One tick, additionally returning the relayout frame context
+        (trip_src + per-cell window table) for renderer frame reuse."""
         dt = jnp.float32(self.cfg.dt)
         half_dt = jnp.float32(0.5) * dt
         damp = jnp.float32(damping)
@@ -250,9 +261,10 @@ class WindowEngine:
         def step(sim: PackedSim, g):
             g = jnp.asarray(g, jnp.float32)
             pk = self._kick_drift(sim, dt, half_dt)
-            pk, au, av, overflow = self._force_pass(pk, g)
+            pk, ctx, overflow = self._relayout(pk)
+            pk, au, av = self._pair_passes(pk, ctx, g)
             sim = self._finish(pk, au, av, half_dt, damp)
-            return sim, self.stats(sim, overflow)
+            return sim, self.stats(sim, overflow), (ctx.trip_src, ctx.T)
 
         return step
 
@@ -272,18 +284,42 @@ class WindowEngine:
         pk = jnp.concatenate([pk[:, :2], u2[:, None], v2[:, None], pk[:, 4:]], axis=1)
         return PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
 
-    def make_multi_step(self, damping: float = 1.0, resort_every: int = 1):
+    def make_multi_step(self, damping: float = 1.0, resort_every: int = 1,
+                        return_frame: bool = False):
         """K ticks per dispatch; ``resort_every`` > 1 reuses layout + windows
         across each group (sticky layout).  Staleness bound as in round 1:
         with v <= C/10 (the WCSPH design bound, `pi_sph_fluid.c:16`) a layout
         stale by k-1 ticks can only miss pairs in the outer 0.2*(k-1)*H shell
         of the support; the triple windows span full cells, so every computed
-        pair stays exact."""
+        pair stays exact.
+
+        ``return_frame=True`` additionally returns the LAST relayout's frame
+        context (trip_src, T) so a renderer can reuse the engine's candidate
+        structure instead of re-sorting the fluid (see
+        render/metaballs_window.WindowRenderer.render_from_frame); the frame
+        is ``resort_every - 1`` ticks stale relative to the returned state —
+        the same fringe bound as the physics."""
         dt = jnp.float32(self.cfg.dt)
         half_dt = jnp.float32(0.5) * dt
         damp = jnp.float32(damping)
 
         if resort_every <= 1:
+            if return_frame:
+                step_ctx = self._make_step_ctx(damping)
+
+                def multi_step_f(sim: PackedSim, g_trace):
+                    frame0 = self._empty_frame()
+
+                    def body(carry, g):
+                        sim, _ = carry
+                        sim, stats, frame = step_ctx(sim, g)
+                        return (sim, frame), stats
+
+                    (sim, frame), stats = jax.lax.scan(
+                        body, (sim, frame0), jnp.asarray(g_trace, jnp.float32))
+                    return sim, stats, frame
+
+                return multi_step_f
             step = self.make_step(damping)
 
             def multi_step(sim: PackedSim, g_trace):
@@ -311,7 +347,7 @@ class WindowEngine:
             sim, st_rest = jax.lax.scan(carried, sim, g_group[1:])
             stats = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b]), st0, st_rest)
-            return sim, stats
+            return sim, stats, (ctx.trip_src, ctx.T)
 
         def multi_step(sim: PackedSim, g_trace):
             g_trace = jnp.asarray(g_trace, jnp.float32)
@@ -319,11 +355,31 @@ class WindowEngine:
             assert k % resort_every == 0, \
                 f"trace length {k} not a multiple of resort_every={resort_every}"
             groups = g_trace.reshape(k // resort_every, resort_every, 2)
-            sim, stats = jax.lax.scan(group, sim, groups)
+
+            if return_frame:
+                def body(carry, g_group):
+                    sim, _ = carry
+                    sim, stats, frame = group(sim, g_group)
+                    return (sim, frame), stats
+
+                (sim, frame), stats = jax.lax.scan(
+                    body, (sim, self._empty_frame()), groups)
+            else:
+                def body(sim, g_group):
+                    sim, stats, _ = group(sim, g_group)
+                    return sim, stats
+
+                sim, stats = jax.lax.scan(body, sim, groups)
             flat = jax.tree_util.tree_map(lambda a: a.reshape(k, *a.shape[2:]), stats)
-            return sim, flat
+            return (sim, flat, frame) if return_frame else (sim, flat)
 
         return multi_step
+
+    def _empty_frame(self):
+        """Zero-valued frame context (trip_src, T) as the scan-carry seed
+        for ``return_frame`` — overwritten by the first tick/group."""
+        return (jnp.zeros((self.spec.L,), jnp.int32),
+                jnp.zeros((self.cfg.n_cells + 1, 8), jnp.int32))
 
     # ------------------------------------------------------------------
     def stats(self, sim: PackedSim, overflow=None) -> StepStats:

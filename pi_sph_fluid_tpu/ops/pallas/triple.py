@@ -107,6 +107,8 @@ class TripleCtx(NamedTuple):
     w_len:      (n_tiles, nqb) int32 — true window lengths
     flen:       (n_tiles, nqb) int32 — true fetch lengths (alignment waste
                 + window length): the kernels compute ceil(flen/128) chunks
+    T:          (n_cells+1, 8) int32 — the per-cell window table [wlo, whi]
+                (renderer frame reuse maps pixel blocks through it)
     overflow:   () int32 — window lanes beyond cap (must be 0)
     """
 
@@ -115,6 +117,7 @@ class TripleCtx(NamedTuple):
     w_start: jnp.ndarray
     w_len: jnp.ndarray
     flen: jnp.ndarray
+    T: jnp.ndarray
     overflow: jnp.ndarray
 
 

@@ -177,6 +177,16 @@ class WindowRenderer:
         # pixel-query tiling shares qb/cap but has its own static layout
         self.spec = self.fspec._replace(n_layout=n_layout)
 
+        # frame-reuse mode (render_from_frame): pixel windows over the
+        # ENGINE's candidate structure — window cap re-derived for the
+        # engine's segment cover rows
+        self.engine_spec = engine.spec
+        cap_r = int(cells_per_blk * (engine.spec.seg_q + 2) * per_cell) + 2 * LANE
+        self.reuse_cap = -(-cap_r // LANE) * LANE
+        self.reuse_spec = engine.spec._replace(
+            n_layout=n_layout, tq=tq, qb=qb, cap=self.reuse_cap)
+        self.n_boundary = int(engine.b_geo.shape[0])
+
     # ------------------------------------------------------------------
     def field(self, sim) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(row-major pixel field, window overflow count).
@@ -222,11 +232,61 @@ class WindowRenderer:
         # L-budget guard stashed by build_frame (triple.py): counted here
         # like window overflow so a candidate-budget overrun is never silent
         overflow = overflow + T[cfg.n_cells, 2] * jnp.int32(1_000_000)
-        ws = fetch.reshape(spec.n_layout // spec.tq, spec.nqb)
-
         n_tiles = spec.n_layout // spec.tq
-        wsp = _pad8(ws)
-        flp = _pad8(flen.reshape(n_tiles, spec.nqb))
+        out = self._call_field(spec, geo,
+                               _pad8(fetch.reshape(n_tiles, spec.nqb)),
+                               _pad8(flen.reshape(n_tiles, spec.nqb)))
+        return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
+
+    # ------------------------------------------------------------------
+    def field_from_frame(self, sim, frame) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(row-major pixel field, overflow) REUSING the engine's candidate
+        frame (trip_src, T from make_multi_step(return_frame=True)) instead
+        of re-sorting the fluid — the per-frame sort + frame build was the
+        dominant render cost at 1M (VERDICT r2 weak #4).
+
+        Exact when the frame is layout-fresh (resort_every=1); for sticky
+        states the frame is <= resort_every-1 ticks stale, which can only
+        miss particles in the outer 0.2*(resort_every-1)*H fringe of a
+        pixel's support — the same bound the physics runs under.  Boundary
+        candidate lanes are excluded by giving their source rows m = 0."""
+        trip_src, T = frame
+        espec, spec = self.engine_spec, self.reuse_spec
+        cfg = self.cfg
+        packed = sim.packed
+        zcol = jnp.zeros((packed.shape[0], 1), jnp.float32)
+        slim = jnp.concatenate([packed[:, 0:2], packed[:, 4:5], zcol], axis=1)
+        src = jnp.concatenate(
+            [slim, jnp.zeros((self.n_boundary + 1, 4), jnp.float32)], axis=0)
+        g4 = src[trip_src].T                       # (4, L_engine)
+        # the pixel cap exceeds the engine's per-segment guard budget, so a
+        # window fetch may overrun the engine L — pad each plane by cap
+        # zeros and rebase the shifted plane at L + cap
+        pad = jnp.zeros((4, spec.cap), jnp.float32)
+        plane = jnp.concatenate([g4, pad], axis=1)  # (4, L + cap)
+        geo = jnp.concatenate(
+            [plane, jnp.pad(plane[:, 64:], ((0, 0), (0, 64)))], axis=1)
+        l_pad = espec.L + spec.cap
+
+        T_lo = T[self.blk_c_first]
+        T_hi = T[self.blk_c_last]
+        w_start = jnp.where(self.blk_has_q, T_lo[:, 0], 0).astype(jnp.int32)
+        w_len = jnp.where(self.blk_has_q, T_hi[:, 1] - T_lo[:, 0], 0).astype(jnp.int32)
+        extra = w_start % LANE
+        use_hi = extra >= 64
+        fetch = jnp.where(use_hi, l_pad + w_start - extra, w_start - extra)
+        extra_eff = extra - jnp.where(use_hi, 64, 0)
+        flen = extra_eff + w_len
+        overflow = jnp.sum(jnp.maximum(flen - spec.cap, 0))
+        overflow = overflow + T[cfg.n_cells, 2] * jnp.int32(1_000_000)
+        n_tiles = spec.n_layout // spec.tq
+        out = self._call_field(spec, geo,
+                               _pad8(fetch.reshape(n_tiles, spec.nqb)),
+                               _pad8(flen.reshape(n_tiles, spec.nqb)))
+        return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
+
+    def _call_field(self, spec, geo, wsp, flp):
+        n_tiles = spec.n_layout // spec.tq
         here, ahead = _span_specs(spec)
         grid_spec = pl.GridSpec(
             grid=(n_tiles,),
@@ -242,15 +302,14 @@ class WindowRenderer:
                 pltpu.SemaphoreType.DMA((2, spec.nqb)),
             ],
         )
-        kernel = functools.partial(_field_kernel, cfg=cfg, spec=spec,
+        kernel = functools.partial(_field_kernel, cfg=self.cfg, spec=spec,
                                    n_tiles=n_tiles, interpret=self.interpret)
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((spec.n_layout, 1), jnp.float32),
             grid_spec=grid_spec,
             interpret=self.interpret,
         )(wsp, wsp, flp, self.q_packed, geo)
-        return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
 
     def render(self, sim) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(page-packed framebuffer, window overflow count).
@@ -259,5 +318,12 @@ class WindowRenderer:
         stats (SimRunner adds it to neighbor_overflow) — window-cap
         truncation must never corrupt frames invisibly."""
         field, overflow = self.field(sim)
+        lit = (field >= 1.0).reshape(self.rows, self.cols)
+        return pack_framebuffer(lit, self.rows, self.cols), overflow
+
+    def render_from_frame(self, sim, frame) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """render() over the engine's reused candidate frame (see
+        field_from_frame for the exactness bound)."""
+        field, overflow = self.field_from_frame(sim, frame)
         lit = (field >= 1.0).reshape(self.rows, self.cols)
         return pack_framebuffer(lit, self.rows, self.cols), overflow

@@ -60,6 +60,45 @@ def test_field_matches_brute_force(setup):
     np.testing.assert_allclose(np.asarray(field), ref, atol=5e-5)
 
 
+def test_field_from_frame_matches_self_relayout(setup):
+    """Frame reuse (engine trip_src + T instead of the renderer's own
+    re-sort) must reproduce the self-relayout field on a layout-fresh
+    state — same physics, different candidate order (pair-sum tolerance);
+    identical lit pixels."""
+    eng, _, renderer = setup
+    fluid, _ = build_drop_scene(CFG)
+    sim = eng.prime(fluid, G)
+    multi = jax.jit(eng.make_multi_step(return_frame=True))
+    gt = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (5, 2))
+    sim, _, frame = multi(sim, gt)
+    f_reuse, ov = jax.jit(renderer.field_from_frame)(sim, frame)
+    assert int(ov) == 0
+    f_self, _ = jax.jit(renderer.field)(sim)
+    np.testing.assert_allclose(np.asarray(f_reuse), np.asarray(f_self),
+                               atol=5e-5)
+    assert ((np.asarray(f_reuse) >= 1.0) == (np.asarray(f_self) >= 1.0)).all()
+
+
+def test_field_from_frame_sticky_stale(setup):
+    """With resort_every=4 the reused frame is 3 ticks stale: fields may
+    differ only by fringe contributions (W at the outer 0.3H shell), so
+    lit pixels must still agree."""
+    eng, _, renderer = setup
+    fluid, _ = build_drop_scene(CFG)
+    sim = eng.prime(fluid, G)
+    multi = jax.jit(eng.make_multi_step(resort_every=4, return_frame=True))
+    gt = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (8, 2))
+    sim, st, frame = multi(sim, gt)
+    assert int(np.max(np.asarray(st.neighbor_overflow))) == 0
+    f_reuse, ov = jax.jit(renderer.field_from_frame)(sim, frame)
+    assert int(ov) == 0
+    f_self, _ = jax.jit(renderer.field)(sim)
+    np.testing.assert_allclose(np.asarray(f_reuse), np.asarray(f_self),
+                               atol=5e-3)
+    agree = ((np.asarray(f_reuse) >= 1.0) == (np.asarray(f_self) >= 1.0)).mean()
+    assert agree >= 0.999
+
+
 def test_framebuffer_matches_golden_c(setup):
     """Pixel parity vs the C reference's framebuffer dumps: render straight
     from the golden particle states (as test_render.py does for round 1)."""
