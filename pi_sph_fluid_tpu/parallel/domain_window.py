@@ -392,7 +392,6 @@ class WindowDomain:
         """One sticky group: full step machinery on tick 0, value-only halo
         refresh + kernels on ticks 1..resort_every-1."""
         cfg = self.cfg
-        lcfg = self.lcfg
         spec = self.spec
         d = self.n_devices
         k = self.k_cols
