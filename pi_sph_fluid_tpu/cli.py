@@ -74,6 +74,11 @@ def _make_sink(args, shape: tuple[int, int]):
         return AsyncSink(FileSink(args.display[5:]))
     if args.display.startswith("png:"):
         return AsyncSink(PngSink(args.display[4:], rows, cols))
+    if args.display.startswith("web"):
+        from .io.web import WebSink
+
+        port = int(args.display.split(":")[1]) if ":" in args.display else 8742
+        return AsyncSink(WebSink(port, rows, cols))
     if args.display.startswith("ssd1306"):
         from .io.ssd1306 import SSD1306Sink
 
@@ -169,7 +174,8 @@ def main(argv=None):
     rp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
     rp.add_argument("--display", default="terminal",
                     help="terminal | none | file:<path> | png:<prefix> "
-                         "| ssd1306[:bus]")
+                         "| web[:port] (live browser view, the SDL-window "
+                         "analog) | ssd1306[:bus]")
     rp.add_argument("--gravity", default="constant",
                     help="constant | rotate | mpu6050 | trace:<file.np[z]> "
                          "(a recorded (T,2) accelerometer session)")

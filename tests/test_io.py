@@ -87,6 +87,29 @@ def test_async_sink_drops_rather_than_blocks():
     assert 0 < inner.got < 50  # some frames dropped by design
 
 
+def test_web_sink_serves_frames():
+    """The browser sink (SDL-window analog) must serve the page, the frame
+    bytes, and the metadata on localhost."""
+    import json as _json
+    from urllib.request import urlopen
+
+    from pi_sph_fluid_tpu.io.web import WebSink
+
+    sink = WebSink(port=0, rows=64, cols=128)  # port 0: OS-assigned
+    try:
+        fb = np.arange(64 // 8 * 128, dtype=np.uint8)
+        sink.push(fb)
+        base = f"http://127.0.0.1:{sink.port}"
+        page = urlopen(f"{base}/", timeout=5).read()
+        assert b"canvas" in page
+        meta = _json.loads(urlopen(f"{base}/meta", timeout=5).read())
+        assert meta == {"rows": 64, "cols": 128, "frames": 1}
+        got = urlopen(f"{base}/frame", timeout=5).read()
+        assert got == fb.tobytes()
+    finally:
+        sink.close()
+
+
 def test_generic_sph_operators_volume_factor():
     """sph_interpolate with volume leading factor: interpolating the constant
     1 over a full neighborhood gives ~1 (partition of unity, approximately)."""
