@@ -110,6 +110,7 @@ def cmd_run(args):
     try:
         result = runner.run(
             gravity, sink, sim_seconds=args.seconds, realtime=args.realtime,
+            steps_per_dispatch=args.steps_per_dispatch,
             report_stream=sys.stderr, settle_seconds=args.settle_seconds,
         )
     finally:
@@ -187,6 +188,10 @@ def main(argv=None):
                          "8); the sink unpacks with the same shape")
     rp.add_argument("--realtime", action="store_true",
                     help="pace to wall-clock like the reference REALTIME mode")
+    rp.add_argument("--steps-per-dispatch", type=int, default=None,
+                    help="steps per device dispatch (default: one display "
+                         "frame's worth, or a report interval headless); "
+                         "raise on high-latency device attachments")
     rp.add_argument("--settle-seconds", type=float, default=0.0,
                     help="damped pre-roll to bleed off the startup transient "
                          "(recommended >= 0.3 for fine resolutions)")

@@ -201,6 +201,11 @@ class SimRunner:
         t0 = time.perf_counter()
         t_mono0 = time.monotonic()
         sim_t = 0.0
+        pending_frame = None   # displayed one dispatch late: device_get of
+        # frame i-1 overlaps dispatch i's execution (+tunnel latency), so
+        # the device never idles waiting on the host fetch — the
+        # reference's tearing-tolerant display contract makes the one-
+        # dispatch staleness free
         for _ in range(n_dispatch):
             g_trace = g_const if g_const is not None \
                 else jnp.asarray(gravity_source.trace(k, dt))
@@ -209,7 +214,9 @@ class SimRunner:
             else:
                 sim, st, frame = self._dispatch(sim, g_trace)
                 if sink is not None:
-                    sink.push(jax.device_get(frame))
+                    if pending_frame is not None:
+                        sink.push(jax.device_get(pending_frame))
+                    pending_frame = frame
             reporter.update(k, st)
             sim_t += k * dt
             if realtime:
@@ -219,6 +226,8 @@ class SimRunner:
                 from .native import pace_until
 
                 pace_until(t_mono0 + sim_t)
+        if pending_frame is not None and sink is not None:
+            sink.push(jax.device_get(pending_frame))
         jax.block_until_ready(sim.fluid.x)
         wall = time.perf_counter() - t0
         return RunResult(sim=sim, reporter=reporter, wall_s=wall,
