@@ -100,8 +100,15 @@ def cmd_run(args):
     print(f"n_fluid = {fluid.n}")
     print(f"n_boundary = {braw.n}")
     render_shape = _parse_render_shape(args.render_shape)
+    engine_opts = dict(cap=args.cap)
+    if args.backend == "pallas-dd":
+        if args.display != "none":
+            raise SystemExit("--backend pallas-dd is headless: "
+                             "add --display none")
+        if args.slabs:
+            engine_opts["slabs"] = args.slabs
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
-                       engine_opts=dict(cap=args.cap),
+                       engine_opts=engine_opts,
                        render=args.display != "none",
                        render_shape=render_shape,
                        resort_every=args.resort_every)
@@ -122,6 +129,8 @@ def cmd_run(args):
         if runner.engine is not None:  # pallas: persist the compact view
             fl = runner.engine.unpad(sim)
             save_state(args.save_state, fluid=fl)
+        elif getattr(runner, "domain", None) is not None:  # pallas-dd
+            save_state(args.save_state, fluid=runner.domain.gather(sim))
         else:
             save_state(args.save_state, fluid=sim.fluid, ids=sim.ids,
                        au=sim.au, av=sim.av)
@@ -172,7 +181,11 @@ def main(argv=None):
     rp.add_argument("--scene", default="drop", choices=["drop", "dam", "pool"])
     rp.add_argument("--r", type=float, default=0.075, help="particle spacing (m)")
     rp.add_argument("--seconds", type=float, default=2.0, help="sim seconds")
-    rp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
+    rp.add_argument("--backend", default="pallas",
+                    choices=["pallas", "pallas-dd", "reference"])
+    rp.add_argument("--slabs", type=int, default=None,
+                    help="pallas-dd: number of device slabs "
+                         "(default: all visible devices)")
     rp.add_argument("--display", default="terminal",
                     help="terminal | none | file:<path> | png:<prefix> "
                          "| web[:port] (live browser view, the SDL-window "

@@ -46,7 +46,9 @@ class RunResult:
 class SimRunner:
     """Owns the compiled step/render functions for one scene.
 
-    backend: "reference" (jnp oracle) or "pallas" (window kernels).
+    backend: "reference" (jnp oracle), "pallas" (window kernels, one
+    chip), or "pallas-dd" (multi-chip slab domain decomposition,
+    headless; ``engine_opts['slabs']`` bounds the device count).
     """
 
     def __init__(
@@ -78,6 +80,47 @@ class SimRunner:
             multi = self.engine.make_multi_step(resort_every=resort_every,
                                                 return_frame=render)
             self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
+        elif backend == "pallas-dd":
+            # multi-chip slab domain decomposition (SURVEY §5): the window
+            # kernels per device inside shard_map, ppermute migration +
+            # halo exchange.  Headless (stats + checkpoints); rendering a
+            # sharded DomainState is not supported.
+            if render:
+                raise ValueError(
+                    "backend='pallas-dd' is headless — use --display none")
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            from ..parallel.domain_window import WindowDomain
+
+            opts = dict(engine_opts or {})
+            # Pallas TPU kernels only lower on TPU; elsewhere (CPU mesh,
+            # tests, dry runs) fall back to interpret mode automatically
+            opts.setdefault("interpret", jax.default_backend() == "cpu")
+            devs = jax.devices()
+            n_slabs = opts.pop("slabs", None) or len(devs)
+            mesh = Mesh(_np.asarray(devs[:n_slabs]), ("x",))
+            self.engine = None
+            self.domain = WindowDomain(cfg, boundary, bgrid, fluid.n, mesh,
+                                       **opts)
+            self._prime = lambda g: self.domain.init(fluid)
+            dmulti = self.domain.make_multi_step(resort_every=resort_every)
+            n_fluid = fluid.n
+
+            def multi(state, g_trace):
+                from ..models.simulation import StepStats
+
+                state, st = dmulti(state, g_trace)
+                # a lost particle must scream: weight conservation breaks
+                # x1e6 into the overflow stat like capacity losses
+                lost = jnp.maximum(n_fluid - st["n_valid"][-1], 0)
+                return state, StepStats(
+                    max_rho_error_pct=st["max_rho_error_pct"],
+                    max_speed=st["max_speed"],
+                    neighbor_overflow=st["overflow"]
+                    + lost * jnp.int32(1_000_000))
+
+            self._settle_multi = None   # WindowDomain has no damped mode
         elif backend == "reference":
             self.engine = None
             self._prime = lambda g: prime(fluid, boundary, bgrid, g, cfg)
@@ -85,7 +128,7 @@ class SimRunner:
             self._settle_multi = jax.jit(make_multi_step(cfg, boundary, bgrid, damping=0.995))
         else:
             raise ValueError(f"unknown backend {backend!r}")
-        self._resort_every = resort_every if backend == "pallas" else 1
+        self._resort_every = resort_every if backend.startswith("pallas") else 1
 
         # renderers are normalized to take the whole sim state: the window
         # renderer re-lays-out the packed state itself (exact for any state,
@@ -179,6 +222,9 @@ class SimRunner:
         n_dispatch = max(1, int(round(sim_seconds / (k * dt))))
 
         sim = resume if resume is not None else self._prime(gravity_source.current())
+        if settle_seconds > 0.0 and self._settle_multi is None:
+            raise ValueError(
+                "settle_seconds is not supported on backend='pallas-dd'")
         if settle_seconds > 0.0:
             # damped pre-roll: bleeds off the non-equilibrium startup
             # transient before the measured/displayed run.  Dispatched in

@@ -142,6 +142,29 @@ def test_500_step_collapse_8_slabs_sticky(scene):
     assert (ids == np.arange(fluid.n)).all()
 
 
+def test_simrunner_pallas_dd_backend(scene):
+    """The CLI-reachable multi-chip path: SimRunner(backend='pallas-dd')
+    runs sticky-group slab DD headless with conservation folded into the
+    overflow stat."""
+    from pi_sph_fluid_tpu.io.gravity import ConstantGravity
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg, fluid, _, _ = scene
+    _, braw = build_dam_break_scene(cfg)
+    runner = SimRunner(cfg, fluid, braw, backend="pallas-dd",
+                       engine_opts=dict(slabs=4, interpret=True, tq=32,
+                                        qb=8, cap=256, seg_q=2),
+                       render=False, resort_every=4)
+    res = runner.run(ConstantGravity(cfg), None,
+                     sim_seconds=8 * cfg.dt, steps_per_dispatch=8)
+    assert res.steps == 8
+    assert res.reporter.total_overflow == 0
+    assert np.isfinite(np.asarray(res.sim.fluid.x)).all()
+    fl = runner.domain.gather(res.sim)
+    assert fl.x.shape[0] == fluid.n
+
+
 def test_halo_overflow_counted_not_silent(scene):
     """Forcing a tiny halo capacity must surface in the overflow counter,
     not silently drop ghosts (VERDICT round-1 weak spot #3/#7)."""
