@@ -71,8 +71,11 @@ class SimRunner:
         self.boundary = boundary
 
         if backend == "pallas":
-            self.engine = WindowEngine(cfg, boundary, bgrid, fluid.n,
-                                       **(engine_opts or {}))
+            opts = dict(engine_opts or {})
+            # Pallas TPU kernels only lower on TPU; elsewhere fall back to
+            # interpret mode so the same command runs anywhere
+            opts.setdefault("interpret", jax.default_backend() == "cpu")
+            self.engine = WindowEngine(cfg, boundary, bgrid, fluid.n, **opts)
             self._prime = lambda g: self.engine.prime(fluid, g)
             # with a renderer, the multi-step also returns the last relayout
             # frame so the renderer reuses the engine's candidate structure

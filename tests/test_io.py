@@ -163,3 +163,30 @@ def test_cli_checkpoint_roundtrip(tmp_path):
           "--display", "none", "--save-state", ckpt])
     main(["run", "--scene", "drop", "--seconds", "0.02", "--backend", "reference",
           "--display", "none", "--load-state", ckpt])
+
+
+def test_simrunner_pallas_render_dispatch(tmp_path):
+    """The production dispatch path (sticky multi + frame reuse renderer +
+    overflow folding + pipelined fetch) end-to-end in interpret mode."""
+    import numpy as np
+
+    from pi_sph_fluid_tpu.io.display import FileSink
+    from pi_sph_fluid_tpu.io.gravity import ConstantGravity
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_drop_scene
+
+    fluid, braw = build_drop_scene(CFG)
+    runner = SimRunner(CFG, fluid, braw, backend="pallas",
+                       engine_opts=dict(tq=32, qb=8, cap=256, seg_q=2,
+                                        interpret=True),
+                       render=True, resort_every=2)
+    path = tmp_path / "frames.bin"
+    sink = FileSink(str(path))
+    res = runner.run(ConstantGravity(CFG), sink,
+                     sim_seconds=8 * CFG.dt, steps_per_dispatch=4)
+    sink.close()
+    assert res.steps == 8
+    assert res.reporter.total_overflow == 0
+    frames = np.fromfile(path, np.uint8)
+    assert frames.size == 2 * 1024       # 2 dispatches -> 2 frames
+    assert frames.any()                  # something was drawn
