@@ -360,7 +360,10 @@ def _forces_kernel(
                 xy_uv = dx * du + dy * dv
                 denom = ca * q_rho + cre
                 den = (r2 + eps_h2) * denom
-                visc = jnp.where(xy_uv < 0.0, (nach * xy_uv) / den, 0.0)
+                # min() replaces the compare+select gate bitwise-exactly:
+                # approaching pairs (xy_uv < 0) keep nach*xy_uv/den, others
+                # get 0/den = 0 (den > 0 for every real-query lane)
+                visc = (nach * jnp.minimum(xy_uv, 0.0)) / den
                 coef = cm * (press + artif + visc) * t13
                 ax = ax + coef * dx
                 ay = ay + coef * dy
