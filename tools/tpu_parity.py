@@ -105,6 +105,10 @@ if __name__ == "__main__":
     import sys
 
     if "--sticky" in sys.argv:
-        sticky_parity()
+        resort = 4
+        for a in sys.argv:
+            if a.startswith("--resort="):
+                resort = int(a.split("=")[1])
+        sticky_parity(resort=resort)
     else:
         main()
