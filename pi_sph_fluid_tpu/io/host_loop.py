@@ -161,10 +161,14 @@ class SimRunner:
         def _reduce(st):
             import jax.numpy as _jnp
 
+            # saturating sum: a catastrophic state can push per-tick
+            # overflow counts to 1e9-scale; int32 summing across a long
+            # scan would wrap negative and hide the scream
+            ov = _jnp.sum(st.neighbor_overflow.astype(_jnp.float32))
             return type(st)(
                 max_rho_error_pct=_jnp.max(st.max_rho_error_pct),
                 max_speed=_jnp.max(st.max_speed),
-                neighbor_overflow=_jnp.sum(st.neighbor_overflow),
+                neighbor_overflow=_jnp.minimum(ov, 1e9).astype(_jnp.int32),
             )
 
         if self._renderer is None:

@@ -292,9 +292,14 @@ def block_windows(spec: TripleSpec, cfg: SPHConfig, cells: jnp.ndarray,
     fetch = jnp.where(use_hi, spec.L + w_start - extra, w_start - extra)
     extra_eff = extra - jnp.where(use_hi, 64, 0)
     flen = extra_eff + w_len
-    overflow = jnp.sum(jnp.maximum(flen - cap, 0)).astype(jnp.int32)
+    # saturating sum: under a catastrophic state (NaN positions -> garbage
+    # cells -> huge window diffs) a plain int32 sum wraps NEGATIVE and the
+    # stat becomes unreadable; accumulate in f32 and clamp so the counter
+    # stays a large positive scream
+    raw = jnp.sum(jnp.maximum(flen - cap, 0).astype(jnp.float32))
+    overflow = jnp.minimum(raw, 1e8).astype(jnp.int32)
     # L-budget guard stashed by build_frame (see there): weight x1e6 like
     # row-capacity losses so a budget overrun is unmistakable in stats
-    overflow = overflow + T[n_cells, 2] * jnp.int32(1_000_000)
+    overflow = overflow + jnp.minimum(T[n_cells, 2], 1000) * jnp.int32(1_000_000)
     return (fetch.reshape(n_tiles, nqb), w_len.reshape(n_tiles, nqb),
             flen.reshape(n_tiles, nqb), overflow)

@@ -228,10 +228,11 @@ class WindowRenderer:
         fetch = jnp.where(use_hi, fspec.L + w_start - extra, w_start - extra)
         extra_eff = extra - jnp.where(use_hi, 64, 0)
         flen = extra_eff + w_len
-        overflow = jnp.sum(jnp.maximum(flen - spec.cap, 0))
+        overflow = jnp.minimum(jnp.sum(jnp.maximum(
+            flen - spec.cap, 0).astype(jnp.float32)), 1e8).astype(jnp.int32)
         # L-budget guard stashed by build_frame (triple.py): counted here
         # like window overflow so a candidate-budget overrun is never silent
-        overflow = overflow + T[cfg.n_cells, 2] * jnp.int32(1_000_000)
+        overflow = overflow + jnp.minimum(T[cfg.n_cells, 2], 1000) * jnp.int32(1_000_000)
         n_tiles = spec.n_layout // spec.tq
         out = self._call_field(spec, geo,
                                _pad8(fetch.reshape(n_tiles, spec.nqb)),
@@ -277,8 +278,9 @@ class WindowRenderer:
         fetch = jnp.where(use_hi, l_pad + w_start - extra, w_start - extra)
         extra_eff = extra - jnp.where(use_hi, 64, 0)
         flen = extra_eff + w_len
-        overflow = jnp.sum(jnp.maximum(flen - spec.cap, 0))
-        overflow = overflow + T[cfg.n_cells, 2] * jnp.int32(1_000_000)
+        overflow = jnp.minimum(jnp.sum(jnp.maximum(
+            flen - spec.cap, 0).astype(jnp.float32)), 1e8).astype(jnp.int32)
+        overflow = overflow + jnp.minimum(T[cfg.n_cells, 2], 1000) * jnp.int32(1_000_000)
         n_tiles = spec.n_layout // spec.tq
         out = self._call_field(spec, geo,
                                _pad8(fetch.reshape(n_tiles, spec.nqb)),
