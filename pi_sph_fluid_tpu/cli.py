@@ -111,7 +111,9 @@ def cmd_run(args):
                        engine_opts=engine_opts,
                        render=args.display != "none",
                        render_shape=render_shape,
-                       resort_every=args.resort_every)
+                       resort_every=args.resort_every,
+                       auto_cap=not args.no_auto_cap,
+                       max_cap=args.max_cap)
     gravity = _make_gravity(args, cfg)
     sink = _make_sink(args, render_shape)
     try:
@@ -212,6 +214,14 @@ def main(argv=None):
                     help="candidate-window lane capacity; 256 is enough for "
                          "settled flows, 384 covers strong free-surface "
                          "transients (overflow is counted, never silent)")
+    rp.add_argument("--max-cap", type=int, default=1024,
+                    help="elastic-capacity ceiling: on window overflow the "
+                         "runner doubles cap (recompiling) and replays the "
+                         "dirty interval from the last clean report, up to "
+                         "this cap (pallas backend)")
+    rp.add_argument("--no-auto-cap", action="store_true",
+                    help="disable elastic capacity recovery; overflow is "
+                         "still counted and reported")
     rp.add_argument("--resort-every", type=int, default=1,
                     help="sticky-layout interval: re-sort the grid every k "
                          "steps (k<=4 is fringe-exact even at the C/10 "

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SPHConfig
 from ..models.boundary import prepare_boundary
@@ -41,6 +42,7 @@ class RunResult:
         return self.n_fluid * self.steps / self.wall_s if self.wall_s else 0.0
 
     n_fluid: int = 0
+    recoveries: int = 0   # elastic-capacity reverts taken (pallas backend)
 
 
 class SimRunner:
@@ -61,6 +63,8 @@ class SimRunner:
         render: bool = True,
         render_shape: tuple[int, int] = (64, 128),
         resort_every: int = 1,
+        auto_cap: bool = True,
+        max_cap: int = 1024,
     ):
         if resort_every < 1:
             raise ValueError(f"resort_every must be >= 1, got {resort_every}")
@@ -69,21 +73,32 @@ class SimRunner:
         self.backend = backend
         boundary, bgrid = prepare_boundary(boundary_raw, cfg)
         self.boundary = boundary
+        self._render = render
+        self._render_shape = render_shape
+        self._resort = resort_every
+        # elastic capacity recovery (pallas backend): on window overflow,
+        # revert to the last clean report checkpoint, rebuild the engine
+        # with a bigger cap and re-run the interval (see run()).  Window
+        # overflow is never silent, but at fine resolutions it is also not
+        # benign: a sparse free-surface block spanning many grid columns
+        # can exceed any fixed cap, and the truncated window loses pairs
+        # asymmetrically — measured to cascade into NaN within a few
+        # thousand steps on the 100k dam scene.
+        self.auto_cap = auto_cap and backend == "pallas"
+        self.max_cap = max_cap
+
+        self._bgrid = bgrid
+        self._fluid_init = fluid
 
         if backend == "pallas":
             opts = dict(engine_opts or {})
             # Pallas TPU kernels only lower on TPU; elsewhere fall back to
             # interpret mode so the same command runs anywhere
             opts.setdefault("interpret", jax.default_backend() == "cpu")
-            self.engine = WindowEngine(cfg, boundary, bgrid, fluid.n, **opts)
-            self._prime = lambda g: self.engine.prime(fluid, g)
-            # with a renderer, the multi-step also returns the last relayout
-            # frame so the renderer reuses the engine's candidate structure
-            # instead of re-sorting the fluid per frame (VERDICT r2 weak #4)
-            multi = self.engine.make_multi_step(resort_every=resort_every,
-                                                return_frame=render)
-            self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
-        elif backend == "pallas-dd":
+            self._pallas_opts = opts
+            self._build_pallas()
+            return
+        if backend == "pallas-dd":
             # multi-chip slab domain decomposition (SURVEY §5): the window
             # kernels per device inside shard_map, ppermute migration +
             # halo exchange.  Headless (stats + checkpoints); rendering a
@@ -132,7 +147,32 @@ class SimRunner:
         else:
             raise ValueError(f"unknown backend {backend!r}")
         self._resort_every = resort_every if backend.startswith("pallas") else 1
+        self._wire(multi)
 
+    # ------------------------------------------------------------------
+    def _build_pallas(self, cap: int | None = None):
+        """(Re)build the single-chip window-engine pipeline.  Called at
+        construction and again by run()'s elastic-capacity recovery with a
+        larger ``cap`` — n_layout is cap-independent (triple.triple_spec),
+        so a checkpointed PackedSim steps unchanged under the new engine."""
+        opts = dict(self._pallas_opts)
+        if cap is not None:
+            opts["cap"] = cap
+        self.engine = WindowEngine(self.cfg, self.boundary, self._bgrid,
+                                   self.n_fluid, **opts)
+        self._prime = lambda g: self.engine.prime(self._fluid_init, g)
+        # with a renderer, the multi-step also returns the last relayout
+        # frame so the renderer reuses the engine's candidate structure
+        # instead of re-sorting the fluid per frame (VERDICT r2 weak #4)
+        multi = self.engine.make_multi_step(resort_every=self._resort,
+                                            return_frame=self._render)
+        self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
+        self._resort_every = self._resort
+        self._wire(multi)
+
+    def _wire(self, multi):
+        """Build the renderer and the fused per-dispatch executable."""
+        backend, render = self.backend, self._render
         # renderers are normalized to take the whole sim state: the window
         # renderer re-lays-out the packed state itself (exact for any state,
         # including sticky-layout mid-group states), the jnp one takes a
@@ -147,10 +187,10 @@ class SimRunner:
         elif backend == "pallas":
             from ..render.metaballs_window import WindowRenderer
 
-            wrend = WindowRenderer(self.engine, *render_shape)
+            wrend = WindowRenderer(self.engine, *self._render_shape)
             self._renderer = wrend.render_from_frame
         else:
-            jnp_render = make_renderer(cfg, *render_shape)
+            jnp_render = make_renderer(self.cfg, *self._render_shape)
             self._renderer = lambda sim, frame: (jnp_render(sim.fluid),
                                                  jnp.asarray(0, jnp.int32))
 
@@ -208,6 +248,7 @@ class SimRunner:
         report_stream=None,
         settle_seconds: float = 0.0,
         resume=None,
+        report_every: float = 0.1,
     ) -> RunResult:
         """Run ``sim_seconds`` of simulation.  ``resume`` continues from a
         previous RunResult.sim instead of re-priming the scene (warm starts
@@ -228,29 +269,80 @@ class SimRunner:
         k = -(-k // self._resort_every) * self._resort_every
         n_dispatch = max(1, int(round(sim_seconds / (k * dt))))
 
-        sim = resume if resume is not None else self._prime(gravity_source.current())
         if settle_seconds > 0.0 and self._settle_multi is None:
             raise ValueError(
                 "settle_seconds is not supported on backend='pallas-dd'")
-        if settle_seconds > 0.0:
-            # damped pre-roll: bleeds off the non-equilibrium startup
-            # transient before the measured/displayed run.  Dispatched in
-            # k-step chunks (a single multi-second XLA program can trip
-            # device watchdogs).
-            n_settle = int(round(settle_seconds / dt))
-            g0 = jnp.broadcast_to(
-                jnp.asarray(gravity_source.current(), jnp.float32), (k, 2))
-            # settle time rounds UP to whole k-step dispatches (dispatch
-            # granularity is the scan length; a shorter trace would recompile)
-            for _ in range(-(-n_settle // k)):
-                sim, _ = self._settle_multi(sim, g0)
-        reporter = StatsReporter(dt=dt, stream=report_stream)
+        g_init = gravity_source.current()
+
+        def _start():
+            """Prime (+ settle); returns (sim, settle_overflow) — settle
+            overflow must not evade the recovery path below."""
+            sim = resume if resume is not None else self._prime(g_init)
+            pending_ov = []
+            if settle_seconds > 0.0:
+                # damped pre-roll: bleeds off the non-equilibrium startup
+                # transient before the measured/displayed run.  Dispatched in
+                # k-step chunks (a single multi-second XLA program can trip
+                # device watchdogs); settle time rounds UP to whole k-step
+                # dispatches (the scan length is the compiled shape).
+                n_settle = int(round(settle_seconds / dt))
+                g0 = jnp.broadcast_to(
+                    jnp.asarray(g_init, jnp.float32), (k, 2))
+                for _ in range(-(-n_settle // k)):
+                    sim, st = self._settle_multi(sim, g0)
+                    pending_ov.append(st.neighbor_overflow)  # drained once
+                    # below — a per-chunk host sync would serialize
+            ov = sum(int(np.sum(np.asarray(o, np.int64))) for o in pending_ov)
+            return sim, ov
+
+        use_ac = self.auto_cap
+        recoveries = 0
+
+        def _start_recovered():
+            """_start() with settle-overflow recovery: double the cap and
+            redo prime+settle until the pre-roll is clean (or the ceiling
+            is hit).  Used at run start AND on a mid-run revert-to-start."""
+            nonlocal use_ac, recoveries
+            sim, settle_ov = _start()
+            while use_ac and settle_ov > 0:
+                old_cap = self.engine.spec.cap
+                new_cap = min(old_cap * 2, self.max_cap)
+                if new_cap <= old_cap:
+                    use_ac = False
+                    if report_stream is not None:
+                        print(f"WINDOW OVERFLOW during settle at "
+                              f"cap={old_cap} (max-cap reached): continuing "
+                              f"with lost pairs", file=report_stream,
+                              flush=True)
+                    break
+                if report_stream is not None:
+                    print(f"WINDOW OVERFLOW during settle: cap {old_cap} -> "
+                          f"{new_cap}, restarting settle", file=report_stream,
+                          flush=True)
+                self._build_pallas(cap=new_cap)
+                recoveries += 1
+                sim, settle_ov = _start()
+            return sim
+
+        sim = _start_recovered()
+        reporter = StatsReporter(dt=dt, stream=report_stream,
+                                 report_every_sim_s=report_every)
         # constant sources: build the device trace once instead of a
         # host->device transfer per dispatch (each round trip adds latency,
         # ~100 ms through a remote-TPU tunnel)
         g_const = None
         if getattr(gravity_source, "is_constant", False):
             g_const = jnp.asarray(gravity_source.trace(k, dt))
+        # elastic-capacity recovery state: checkpoint = (state, position,
+        # reporter aggregates) at the last clean report boundary.  Gravity
+        # sources are stateful, so every trace issued since the checkpoint
+        # is logged for exact replay after a revert.
+        ck_sim, ck_i, ck_t = sim, 0, 0.0
+        ck_rep = reporter.snapshot()
+        ck_is_start = resume is None   # the step-0 prime (and settle) ran
+        # under the old cap too — revert-to-start must redo them
+        g_log: list = []
+        replay_pos = 0
         t0 = time.perf_counter()
         t_mono0 = time.monotonic()
         sim_t = 0.0
@@ -259,9 +351,17 @@ class SimRunner:
         # the device never idles waiting on the host fetch — the
         # reference's tearing-tolerant display contract makes the one-
         # dispatch staleness free
-        for _ in range(n_dispatch):
-            g_trace = g_const if g_const is not None \
-                else jnp.asarray(gravity_source.trace(k, dt))
+        i = 0
+        while i < n_dispatch:
+            if g_const is not None:
+                g_trace = g_const
+            elif replay_pos < len(g_log):
+                g_trace = g_log[replay_pos]
+                replay_pos += 1
+            else:
+                g_trace = jnp.asarray(gravity_source.trace(k, dt))
+                g_log.append(g_trace)
+                replay_pos = len(g_log)
             if self._renderer is None:
                 sim, st = self._dispatch(sim, g_trace)
             else:
@@ -270,8 +370,48 @@ class SimRunner:
                     if pending_frame is not None:
                         sink.push(jax.device_get(pending_frame))
                     pending_frame = frame
-            reporter.update(k, st)
+            line = reporter.update(k, st)
             sim_t += k * dt
+            i += 1
+            if use_ac and (line is not None or i == n_dispatch):
+                # the overflow check rides the report cadence (plus end of
+                # run) — the lazy reporter pays its host drain exactly here,
+                # so recovery adds no per-dispatch syncs
+                if reporter.total_overflow > 0:
+                    old_cap = self.engine.spec.cap
+                    new_cap = min(old_cap * 2, self.max_cap)
+                    if new_cap <= old_cap:
+                        use_ac = False
+                        if report_stream is not None:
+                            print(f"WINDOW OVERFLOW at cap={old_cap} "
+                                  f"(max-cap reached): continuing with "
+                                  f"lost pairs", file=report_stream,
+                                  flush=True)
+                    else:
+                        if report_stream is not None:
+                            print(f"WINDOW OVERFLOW: cap {old_cap} -> "
+                                  f"{new_cap}, reverting to t={ck_t:.2f}s "
+                                  f"and replaying", file=report_stream,
+                                  flush=True)
+                        self._build_pallas(cap=new_cap)
+                        if ck_is_start:
+                            ck_sim = _start_recovered()
+                        sim, i, sim_t = ck_sim, ck_i, ck_t
+                        reporter.restore(ck_rep)
+                        replay_pos = 0
+                        pending_frame = None
+                        recoveries += 1
+                        t_mono0 = time.monotonic() - sim_t
+                    continue
+                if line is not None:
+                    ck_sim, ck_i, ck_t = sim, i, sim_t
+                    ck_rep = reporter.snapshot()
+                    ck_is_start = False
+                    # keep any not-yet-replayed suffix: the gravity source's
+                    # internal clock already consumed those steps, so they
+                    # must come from the log, not a fresh trace() call
+                    g_log = g_log[replay_pos:]
+                    replay_pos = 0
             if realtime:
                 # precise pacing to the sim-time deadline (the reference's
                 # REALTIME spin-wait, `pi_sph_fluid.c:694-701`, as a
@@ -284,4 +424,5 @@ class SimRunner:
         jax.block_until_ready(sim.fluid.x)
         wall = time.perf_counter() - t0
         return RunResult(sim=sim, reporter=reporter, wall_s=wall,
-                         steps=k * n_dispatch, n_fluid=self.n_fluid)
+                         steps=k * n_dispatch, n_fluid=self.n_fluid,
+                         recoveries=recoveries)

@@ -73,6 +73,22 @@ class StatsReporter:
             self._overflow = int(self._overflow) + ov
         self._pending.clear()
 
+    def snapshot(self) -> tuple:
+        """Drain and capture the host-side aggregates (for revert/replay:
+        io/host_loop.SimRunner's elastic-capacity recovery rewinds the
+        reporter alongside the sim state)."""
+        self._drain()
+        return (self.t, self._last_report_t, float(self._worst_rho),
+                float(self._worst_speed), int(self._overflow))
+
+    def restore(self, snap: tuple) -> None:
+        (self.t, self._last_report_t, self._worst_rho,
+         self._worst_speed, self._overflow) = snap
+        self._window_rho = 0.0
+        self._window_speed = 0.0
+        self._pending.clear()
+        self._last_report_wall = time.perf_counter()
+
     def update(self, n_steps: int, step_stats) -> str | None:
         """Feed one dispatch's StepStats (scalars or (k,) arrays from scan);
         returns a formatted report line when one is due.  Enqueues NOTHING

@@ -190,3 +190,86 @@ def test_simrunner_pallas_render_dispatch(tmp_path):
     frames = np.fromfile(path, np.uint8)
     assert frames.size == 2 * 1024       # 2 dispatches -> 2 frames
     assert frames.any()                  # something was drawn
+
+
+def test_autocap_recovery_replays_clean():
+    """Elastic capacity recovery: a cap the dam scene overflows (128 — see
+    test_window_engine.test_window_overflow_reported_not_silent) must be
+    detected, the engine rebuilt with a doubled cap, and the dirty interval
+    replayed — the final run reports ZERO overflow and matches a run that
+    started at the recovered cap.  A *stateful* gravity source (rotating)
+    exercises the trace-replay log: the replayed interval must see the very
+    traces it saw the first time, and post-replay dispatches must continue
+    the source's clock without a gap."""
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg = SPHConfig()
+    fluid, braw = build_dam_break_scene(cfg)
+    log = io.StringIO()
+    runner = SimRunner(cfg, fluid, braw, backend="pallas",
+                       engine_opts=dict(tq=32, qb=8, cap=128, seg_q=2,
+                                        interpret=True),
+                       render=False, max_cap=512)
+    res = runner.run(RotatingGravity(cfg, period_s=0.05),
+                     sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4, report_stream=log)
+    assert res.recoveries >= 1
+    assert runner.engine.spec.cap > 128
+    assert res.reporter.total_overflow == 0
+    assert "WINDOW OVERFLOW" in log.getvalue()
+
+    # a fresh run that starts at the recovered cap, driven by an identical
+    # fresh gravity source, must agree exactly
+    clean = SimRunner(cfg, fluid, braw, backend="pallas",
+                      engine_opts=dict(tq=32, qb=8, seg_q=2, interpret=True,
+                                       cap=runner.engine.spec.cap),
+                      render=False, auto_cap=False)
+    res2 = clean.run(RotatingGravity(cfg, period_s=0.05),
+                     sim_seconds=8 * cfg.dt, steps_per_dispatch=4)
+    a = runner.engine.unpad(res.sim)
+    b = clean.engine.unpad(res2.sim)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.rho), np.asarray(b.rho))
+
+
+def test_autocap_ceiling_keeps_counting():
+    """At the max-cap ceiling the runner stops recovering but the overflow
+    count stays visible (never-silent invariant)."""
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg = SPHConfig()
+    fluid, braw = build_dam_break_scene(cfg)
+    log = io.StringIO()
+    runner = SimRunner(cfg, fluid, braw, backend="pallas",
+                       engine_opts=dict(tq=32, qb=8, cap=128, seg_q=2,
+                                        interpret=True),
+                       render=False, max_cap=128)
+    res = runner.run(ConstantGravity(cfg), sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4, report_stream=log)
+    assert res.recoveries == 0
+    assert res.reporter.total_overflow > 0
+    assert "max-cap reached" in log.getvalue()
+
+
+def test_autocap_settle_recovery():
+    """Settle-phase overflow must also trigger recovery: the damped pre-roll
+    restarts under the doubled cap (it would otherwise corrupt the initial
+    checkpoint invisibly — settle stats used to be discarded)."""
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg = SPHConfig()
+    fluid, braw = build_dam_break_scene(cfg)
+    log = io.StringIO()
+    runner = SimRunner(cfg, fluid, braw, backend="pallas",
+                       engine_opts=dict(tq=32, qb=8, cap=128, seg_q=2,
+                                        interpret=True),
+                       render=False, max_cap=512)
+    res = runner.run(ConstantGravity(cfg), sim_seconds=4 * cfg.dt,
+                     steps_per_dispatch=4, settle_seconds=4 * cfg.dt,
+                     report_stream=log)
+    assert res.recoveries >= 1
+    assert "during settle" in log.getvalue()
+    assert res.reporter.total_overflow == 0
