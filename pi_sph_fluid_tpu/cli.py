@@ -151,9 +151,13 @@ def cmd_bench(args):
     r = math.sqrt(6.35 / args.n)
     cfg = SPHConfig(r=r)
     fluid, braw = build_pool_scene(cfg)
+    # auto_cap off: a bench measures the configured cap — silent mid-run
+    # escalation (a recompile) would distort the number; overflow shows in
+    # the JSON instead
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
                        engine_opts=dict(cap=args.cap),
-                       render=args.render, resort_every=args.resort_every)
+                       render=args.render, resort_every=args.resort_every,
+                       auto_cap=False)
     gravity = ConstantGravity(cfg)
     # warmup dispatch compiles everything; must use the same scan length as
     # the measured run or the measured run recompiles

@@ -383,15 +383,22 @@ class WindowEngine:
 
     # ------------------------------------------------------------------
     def stats(self, sim: PackedSim, overflow=None) -> StepStats:
+        """Non-finite real rows fold into the overflow scream (x1e6): TPU
+        max-reductions silently DROP NaN operands, so a NaN'd state would
+        otherwise print healthy max stats (observed on v5e — a degenerated
+        state reported 0.000% rho error while fully NaN)."""
         rho0 = jnp.float32(self.cfg.rho_0)
         m = sim.packed[:, 4]
         rho = sim.packed[:, 5]
         max_rho_error = jnp.max(jnp.where(m > 0, rho, 0.0) - rho0)
         speed2 = sim.packed[:, 2] ** 2 + sim.packed[:, 3] ** 2
+        probe = sim.packed[:, 0] + speed2 + rho        # NaN/inf propagates
+        bad = jnp.sum(((m > 0) & ~jnp.isfinite(probe)).astype(jnp.int32))
+        ov = jnp.asarray(0, jnp.int32) if overflow is None else overflow
         return StepStats(
             max_rho_error_pct=jnp.maximum(max_rho_error, 0.0) / rho0 * 100.0,
             max_speed=jnp.sqrt(jnp.max(speed2)),
-            neighbor_overflow=jnp.asarray(0, jnp.int32) if overflow is None else overflow,
+            neighbor_overflow=ov + jnp.minimum(bad, 1000) * jnp.int32(1_000_000),
         )
 
     # ------------------------------------------------------------------

@@ -132,12 +132,20 @@ def make_multi_step(cfg: SPHConfig, boundary: BoundaryState, boundary_grid: Grid
 
 
 def stats(sim: SimState, cfg: SPHConfig, overflow=None) -> StepStats:
-    """On-device invariant reductions (`pi_sph_fluid.c:656-675`)."""
+    """On-device invariant reductions (`pi_sph_fluid.c:656-675`).
+
+    Non-finite state rows are folded into the overflow scream (x1e6, like
+    capacity-lost rows): TPU max-reductions silently DROP NaN operands, so
+    a NaN'd state otherwise prints healthy-looking max stats — observed on
+    v5e with a degenerated fine-resolution pool."""
     rho0 = jnp.float32(cfg.rho_0)
     max_rho_error = jnp.max(sim.fluid.rho - rho0)
     speed2 = sim.fluid.u * sim.fluid.u + sim.fluid.v * sim.fluid.v
+    probe = sim.fluid.x + speed2 + sim.fluid.rho   # NaN/inf propagates
+    bad = jnp.sum((~jnp.isfinite(probe)).astype(jnp.int32))
+    ov = jnp.asarray(0, jnp.int32) if overflow is None else overflow
     return StepStats(
         max_rho_error_pct=jnp.maximum(max_rho_error, 0.0) / rho0 * 100.0,
         max_speed=jnp.sqrt(jnp.max(speed2)),
-        neighbor_overflow=jnp.asarray(0, jnp.int32) if overflow is None else overflow,
+        neighbor_overflow=ov + jnp.minimum(bad, 1000) * jnp.int32(1_000_000),
     )

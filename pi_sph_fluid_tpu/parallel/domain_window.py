@@ -315,8 +315,14 @@ class WindowDomain:
 
             overflow = (ov_mig + ov_cap + ov_h1 + ov_w1).astype(jnp.int32)
             rho0 = jnp.float32(cfg.rho_0)
+            sp2 = fluid.u**2 + fluid.v**2
             rho_err = jnp.max(jnp.where(valid, fluid.rho - rho0, -rho0))
-            speed2 = jnp.max(jnp.where(valid, fluid.u**2 + fluid.v**2, 0.0))
+            speed2 = jnp.max(jnp.where(valid, sp2, 0.0))
+            # non-finite rows scream x1e6: TPU max-reductions DROP NaN, so
+            # a NaN'd slab would otherwise report healthy max stats
+            probe = fluid.x + sp2 + fluid.rho
+            bad = jnp.sum((valid & ~jnp.isfinite(probe)).astype(jnp.int32))
+            overflow = overflow + jnp.minimum(bad, 1000) * jnp.int32(1_000_000)
             stats = (
                 jax.lax.pmax(jnp.maximum(rho_err, 0.0) / rho0 * 100.0, self.axis),
                 jnp.sqrt(jax.lax.pmax(speed2, self.axis)),
@@ -493,8 +499,15 @@ class WindowDomain:
             def tick_stats(pk, dens4, ovf):
                 rho0 = jnp.float32(cfg.rho_0)
                 q_valid = pk[:, 4] > 0
+                sp2 = pk[:, 2] ** 2 + pk[:, 3] ** 2
                 rho_err = jnp.max(jnp.where(q_valid, dens4[:, 0] - rho0, -rho0))
-                speed2 = jnp.max(jnp.where(q_valid, pk[:, 2] ** 2 + pk[:, 3] ** 2, 0.0))
+                speed2 = jnp.max(jnp.where(q_valid, sp2, 0.0))
+                # non-finite rows scream x1e6 (TPU max drops NaN; see the
+                # per-step stats block above)
+                probe = pk[:, 0] + sp2 + dens4[:, 0]
+                bad = jnp.sum((q_valid & ~jnp.isfinite(probe)).astype(jnp.int32))
+                ovf = ovf.astype(jnp.int32) + \
+                    jnp.minimum(bad, 1000) * jnp.int32(1_000_000)
                 return (
                     jax.lax.pmax(jnp.maximum(rho_err, 0.0) / rho0 * 100.0, self.axis),
                     jnp.sqrt(jax.lax.pmax(speed2, self.axis)),

@@ -84,3 +84,16 @@ def test_ids_track_identity(sim_setup):
     out, _ = step(sim, jnp.asarray(G, jnp.float32))
     ids = np.asarray(out.ids)
     assert sorted(ids) == list(range(out.fluid.n))
+
+
+def test_nonfinite_state_screams_in_stats(sim_setup):
+    """TPU max-reductions silently drop NaN operands, so a NaN'd state can
+    print healthy max stats; the overflow counter must scream instead
+    (x1e6 per non-finite row, like capacity-lost rows)."""
+    from pi_sph_fluid_tpu.models.simulation import stats
+
+    sim, _, _ = sim_setup
+    assert int(stats(sim, CFG).neighbor_overflow) == 0
+    bad = sim._replace(fluid=sim.fluid._replace(
+        u=sim.fluid.u.at[3].set(jnp.nan)))
+    assert int(stats(bad, CFG).neighbor_overflow) >= 1_000_000

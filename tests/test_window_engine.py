@@ -189,3 +189,15 @@ def test_single_particle_at_corner(scene):
     fl2 = eng.unpad(sim)
     assert np.isfinite(float(fl2.rho[0])) and float(fl2.rho[0]) > 0
     assert np.isfinite(np.asarray(sim.au)).all()
+
+
+def test_nonfinite_state_screams_in_stats(scene):
+    """Engine-path twin of test_step.test_nonfinite_state_screams_in_stats:
+    a NaN row in the packed state must fire the x1e6 overflow scream (TPU
+    max-reductions drop NaN, hiding it from the max stats)."""
+    cfg, fluid, boundary, bgrid = scene
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, **ENGINE_KW)
+    sim = eng.prime(fluid, G)
+    assert int(eng.stats(sim).neighbor_overflow) == 0
+    bad = sim._replace(packed=sim.packed.at[5, 2].set(jnp.nan))
+    assert int(eng.stats(bad).neighbor_overflow) >= 1_000_000
