@@ -137,9 +137,12 @@ def cmd_run(args):
             save_state(args.save_state, fluid=sim.fluid, ids=sim.ids,
                        au=sim.au, av=sim.av)
         print(f"state saved to {args.save_state}", file=sys.stderr)
+    extra = (f", {result.recoveries} capacity recover"
+             f"{'y' if result.recoveries == 1 else 'ies'}"
+             if result.recoveries else "")
     print(f"\n{result.steps} steps in {result.wall_s:.2f}s "
-          f"({result.particle_steps_per_s / 1e6:.2f}M particle-steps/s)",
-          file=sys.stderr)
+          f"({result.particle_steps_per_s / 1e6:.2f}M particle-steps/s)"
+          f"{extra}", file=sys.stderr)
 
 
 def cmd_bench(args):
