@@ -101,12 +101,8 @@ def cmd_run(args):
     print(f"n_boundary = {braw.n}")
     render_shape = _parse_render_shape(args.render_shape)
     engine_opts = dict(cap=args.cap)
-    if args.backend == "pallas-dd":
-        if args.display != "none":
-            raise SystemExit("--backend pallas-dd is headless: "
-                             "add --display none")
-        if args.slabs:
-            engine_opts["slabs"] = args.slabs
+    if args.backend == "pallas-dd" and args.slabs:
+        engine_opts["slabs"] = args.slabs
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
                        engine_opts=engine_opts,
                        render=args.display != "none",

@@ -49,8 +49,9 @@ class SimRunner:
     """Owns the compiled step/render functions for one scene.
 
     backend: "reference" (jnp oracle), "pallas" (window kernels, one
-    chip), or "pallas-dd" (multi-chip slab domain decomposition,
-    headless; ``engine_opts['slabs']`` bounds the device count).
+    chip), or "pallas-dd" (multi-chip slab domain decomposition;
+    ``engine_opts['slabs']`` bounds the device count; rendering is a
+    demo-grade host-gather path).
     """
 
     def __init__(
@@ -101,11 +102,11 @@ class SimRunner:
         if backend == "pallas-dd":
             # multi-chip slab domain decomposition (SURVEY §5): the window
             # kernels per device inside shard_map, ppermute migration +
-            # halo exchange.  Headless (stats + checkpoints); rendering a
-            # sharded DomainState is not supported.
-            if render:
-                raise ValueError(
-                    "backend='pallas-dd' is headless — use --display none")
+            # halo exchange.  Rendering is demo-grade: the sharded state is
+            # gathered to the host per dispatch and drawn by the jnp
+            # metaball renderer — a synchronous path (the gather breaks the
+            # async dispatch pipeline), fine for demos, not for the 60 Hz
+            # 1M design point (that is the single-chip WindowRenderer's job).
             import numpy as _np
             from jax.sharding import Mesh
 
@@ -173,6 +174,7 @@ class SimRunner:
     def _wire(self, multi):
         """Build the renderer and the fused per-dispatch executable."""
         backend, render = self.backend, self._render
+        self._post_frame = None
         # renderers are normalized to take the whole sim state: the window
         # renderer re-lays-out the packed state itself (exact for any state,
         # including sticky-layout mid-group states), the jnp one takes a
@@ -189,6 +191,18 @@ class SimRunner:
 
             wrend = WindowRenderer(self.engine, *self._render_shape)
             self._renderer = wrend.render_from_frame
+        elif backend == "pallas-dd":
+            # host-gather demo path (see the dd branch in __init__): the
+            # in-jit renderer slot stays empty; run() calls _post_frame
+            # after each dispatch instead
+            self._renderer = None
+            dd_render = jax.jit(make_renderer(self.cfg, *self._render_shape))
+            domain = self.domain
+
+            def post_frame(state):
+                return dd_render(domain.gather(state))
+
+            self._post_frame = post_frame
         else:
             jnp_render = make_renderer(self.cfg, *self._render_shape)
             self._renderer = lambda sim, frame: (jnp_render(sim.fluid),
@@ -262,7 +276,7 @@ class SimRunner:
         # device attachments, so raise steps_per_dispatch further there
         if steps_per_dispatch:
             k = steps_per_dispatch
-        elif self._renderer is not None:
+        elif self._renderer is not None or self._post_frame is not None:
             k = max(1, int(round(1.0 / (60.0 * dt))))
         else:
             k = max(1, int(round(0.1 / dt)))
@@ -364,6 +378,10 @@ class SimRunner:
                 replay_pos = len(g_log)
             if self._renderer is None:
                 sim, st = self._dispatch(sim, g_trace)
+                if self._post_frame is not None and sink is not None:
+                    # demo-grade dd rendering: synchronous host gather +
+                    # jnp renderer (documented in __init__)
+                    sink.push(np.asarray(self._post_frame(sim)))
             else:
                 sim, st, frame = self._dispatch(sim, g_trace)
                 if sink is not None:
