@@ -77,15 +77,16 @@ class SimRunner:
         self._render = render
         self._render_shape = render_shape
         self._resort = resort_every
-        # elastic capacity recovery (pallas backend): on window overflow,
-        # revert to the last clean report checkpoint, rebuild the engine
-        # with a bigger cap and re-run the interval (see run()).  Window
+        # elastic capacity recovery (pallas + pallas-dd): on window
+        # overflow, revert to the last clean report checkpoint, rebuild
+        # the engine with a bigger cap and re-run the interval (see
+        # run(); the dd rebuild also grows halo/migration/slab).  Window
         # overflow is never silent, but at fine resolutions it is also not
         # benign: a sparse free-surface block spanning many grid columns
         # can exceed any fixed cap, and the truncated window loses pairs
         # asymmetrically — measured to cascade into NaN within a few
         # thousand steps on the 100k dam scene.
-        self.auto_cap = auto_cap and backend == "pallas"
+        self.auto_cap = auto_cap and backend in ("pallas", "pallas-dd")
         self.max_cap = max_cap
 
         self._bgrid = bgrid
@@ -100,47 +101,14 @@ class SimRunner:
             self._build_pallas()
             return
         if backend == "pallas-dd":
-            # multi-chip slab domain decomposition (SURVEY §5): the window
-            # kernels per device inside shard_map, ppermute migration +
-            # halo exchange.  Rendering is demo-grade: the sharded state is
-            # gathered to the host per dispatch and drawn by the jnp
-            # metaball renderer — a synchronous path (the gather breaks the
-            # async dispatch pipeline), fine for demos, not for the 60 Hz
-            # 1M design point (that is the single-chip WindowRenderer's job).
-            import numpy as _np
-            from jax.sharding import Mesh
-
-            from ..parallel.domain_window import WindowDomain
-
             opts = dict(engine_opts or {})
             # Pallas TPU kernels only lower on TPU; elsewhere (CPU mesh,
             # tests, dry runs) fall back to interpret mode automatically
             opts.setdefault("interpret", jax.default_backend() == "cpu")
-            devs = jax.devices()
-            n_slabs = opts.pop("slabs", None) or len(devs)
-            mesh = Mesh(_np.asarray(devs[:n_slabs]), ("x",))
-            self.engine = None
-            self.domain = WindowDomain(cfg, boundary, bgrid, fluid.n, mesh,
-                                       **opts)
-            self._prime = lambda g: self.domain.init(fluid)
-            dmulti = self.domain.make_multi_step(resort_every=resort_every)
-            n_fluid = fluid.n
-
-            def multi(state, g_trace):
-                from ..models.simulation import StepStats
-
-                state, st = dmulti(state, g_trace)
-                # a lost particle must scream: weight conservation breaks
-                # x1e6 into the overflow stat like capacity losses
-                lost = jnp.maximum(n_fluid - st["n_valid"][-1], 0)
-                return state, StepStats(
-                    max_rho_error_pct=st["max_rho_error_pct"],
-                    max_speed=st["max_speed"],
-                    neighbor_overflow=st["overflow"]
-                    + lost * jnp.int32(1_000_000))
-
-            self._settle_multi = None   # WindowDomain has no damped mode
-        elif backend == "reference":
+            self._dd_opts = opts
+            self._build_dd()
+            return
+        if backend == "reference":
             self.engine = None
             self._prime = lambda g: prime(fluid, boundary, bgrid, g, cfg)
             multi = make_multi_step(cfg, boundary, bgrid)
@@ -168,6 +136,63 @@ class SimRunner:
         multi = self.engine.make_multi_step(resort_every=self._resort,
                                             return_frame=self._render)
         self._settle_multi = jax.jit(self.engine.make_multi_step(damping=0.995))
+        self._resort_every = self._resort
+        self._wire(multi)
+
+    def _build_dd(self, grow: bool = False):
+        """(Re)build the multi-chip slab pipeline (SURVEY §5): the window
+        kernels per device inside shard_map, ppermute migration + halo
+        exchange.  Rendering is demo-grade: the sharded state is gathered
+        to the host per dispatch and drawn by the jnp metaball renderer —
+        a synchronous path (the gather breaks the async dispatch
+        pipeline), fine for demos, not for the 60 Hz 1M design point
+        (that is the single-chip WindowRenderer's job).
+
+        ``grow=True`` (the elastic-recovery rebuild) doubles the window
+        cap AND the halo/migration/slab buffer capacities: dd overflow is
+        reported as one aggregate counter, so recovery grows every
+        capacity rather than guessing which one starved.  State shapes
+        change with slab/halo caps — revert goes through
+        domain.export()/init() (see run())."""
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from ..parallel.domain_window import WindowDomain
+
+        opts = dict(self._dd_opts)
+        opts.pop("slabs", None)
+        if grow:
+            opts["cap"] = 2 * self.domain.spec.cap
+            opts["halo_cap"] = 2 * self.domain.halo_cap
+            opts["mig_cap"] = 2 * self.domain.mig_cap
+            opts["slab_cap"] = min(2 * self.domain.slab_cap,
+                                   -(-(self.n_fluid + 64) // 128) * 128)
+            self._dd_opts.update(opts)
+        devs = jax.devices()
+        n_slabs = self._dd_opts.get("slabs") or len(devs)
+        mesh = Mesh(_np.asarray(devs[:n_slabs]), ("x",))
+        self.engine = None
+        self.domain = WindowDomain(self.cfg, self.boundary, self._bgrid,
+                                   self.n_fluid, mesh, **opts)
+        fluid_init = self._fluid_init
+        self._prime = lambda g: self.domain.init(fluid_init)
+        dmulti = self.domain.make_multi_step(resort_every=self._resort)
+        n_fluid = self.n_fluid
+
+        def multi(state, g_trace):
+            from ..models.simulation import StepStats
+
+            state, st = dmulti(state, g_trace)
+            # a lost particle must scream: weight conservation breaks
+            # x1e6 into the overflow stat like capacity losses
+            lost = jnp.maximum(n_fluid - st["n_valid"][-1], 0)
+            return state, StepStats(
+                max_rho_error_pct=st["max_rho_error_pct"],
+                max_speed=st["max_speed"],
+                neighbor_overflow=st["overflow"]
+                + lost * jnp.int32(1_000_000))
+
+        self._settle_multi = None   # WindowDomain has no damped mode
         self._resort_every = self._resort
         self._wire(multi)
 
@@ -396,7 +421,8 @@ class SimRunner:
                 # run) — the lazy reporter pays its host drain exactly here,
                 # so recovery adds no per-dispatch syncs
                 if reporter.total_overflow > 0:
-                    old_cap = self.engine.spec.cap
+                    old_cap = (self.engine.spec.cap if self.engine is not None
+                               else self.domain.spec.cap)
                     new_cap = min(old_cap * 2, self.max_cap)
                     if new_cap <= old_cap:
                         use_ac = False
@@ -411,9 +437,20 @@ class SimRunner:
                                   f"{new_cap}, reverting to t={ck_t:.2f}s "
                                   f"and replaying", file=report_stream,
                                   flush=True)
-                        self._build_pallas(cap=new_cap)
-                        if ck_is_start:
-                            ck_sim = _start_recovered()
+                        if self.backend == "pallas":
+                            self._build_pallas(cap=new_cap)
+                            if ck_is_start:
+                                ck_sim = _start_recovered()
+                        else:
+                            # dd: buffer shapes change with the grown caps,
+                            # so the checkpoint rides the lossless host
+                            # export/import (leapfrog carry included)
+                            ck_export = self.domain.export(ck_sim)
+                            self._build_dd(grow=True)
+                            if ck_is_start and resume is None:
+                                ck_sim = _start_recovered()
+                            else:
+                                ck_sim = self.domain.init(*ck_export)
                         sim, i, sim_t = ck_sim, ck_i, ck_t
                         reporter.restore(ck_rep)
                         replay_pos = 0

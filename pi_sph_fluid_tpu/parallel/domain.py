@@ -78,8 +78,18 @@ def _take_first(mask, arrays, cap):
     runs several times per sharded step.
     """
     order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
-    idx = order[:cap]
-    lane_valid = mask[idx]
+    n = mask.shape[0]
+    if cap > n:
+        # callers size receive buffers statically by ``cap``; a source
+        # array shorter than that must PAD to cap, not silently clamp at
+        # the python slice (order[:cap] of a shorter array) — that shape
+        # drift broke halo exchanges whenever halo_cap > slab_cap
+        idx = jnp.concatenate([order, jnp.zeros((cap - n,), jnp.int32)])
+        lane_valid = jnp.concatenate(
+            [mask[order], jnp.zeros((cap - n,), bool)])
+    else:
+        idx = order[:cap]
+        lane_valid = mask[idx]
     f32 = [i for i, a in enumerate(arrays) if a.dtype == jnp.float32]
     packed = list(arrays)
     if len(f32) > 1:

@@ -179,8 +179,14 @@ class WindowDomain:
         self._eng_template = eng
 
     # ------------------------------------------------------------------
-    def init(self, fluid: FluidState) -> DomainState:
-        """Distribute a global FluidState into sharded slab arrays."""
+    def init(self, fluid: FluidState, au=None, av=None) -> DomainState:
+        """Distribute a global FluidState into sharded slab arrays.
+
+        ``au``/``av`` (original-id order, as produced by export()) carry
+        the leapfrog acceleration term so a checkpoint resumes EXACTLY —
+        including into a domain rebuilt with different capacities (the
+        elastic-recovery revert path).  Without them the first half-kick
+        sees zero acceleration, as at scene start."""
         d, cap = self.n_devices, self.slab_cap
         cell = np.float32(self.cfg.cell_length)
         x = np.asarray(fluid.x)
@@ -189,6 +195,8 @@ class WindowDomain:
         out = {f: np.zeros((d, cap), np.float32) for f in FluidState._fields}
         out["x"][:] = INERT_X
         out["y"][:] = INERT_X
+        aus = np.zeros((d, cap), np.float32)
+        avs = np.zeros((d, cap), np.float32)
         ids = np.full((d, cap), -1, np.int32)
         for dev in range(d):
             sel = np.nonzero(dest == dev)[0]
@@ -196,15 +204,18 @@ class WindowDomain:
                 raise ValueError(f"slab {dev} over capacity: {len(sel)} > {cap}")
             for f in FluidState._fields:
                 out[f][dev, : len(sel)] = np.asarray(getattr(fluid, f))[sel]
+            if au is not None:
+                aus[dev, : len(sel)] = np.asarray(au)[sel]
+                avs[dev, : len(sel)] = np.asarray(av)[sel]
             ids[dev, : len(sel)] = sel
         sharding = NamedSharding(self.mesh, P(self.axis))
         state = FluidState(**{
             f: jax.device_put(out[f].reshape(-1), sharding) for f in FluidState._fields
         })
-        zeros = jax.device_put(np.zeros(d * cap, np.float32), sharding)
         return DomainState(fluid=state,
                            ids=jax.device_put(ids.reshape(-1), sharding),
-                           au=zeros, av=zeros)
+                           au=jax.device_put(aus.reshape(-1), sharding),
+                           av=jax.device_put(avs.reshape(-1), sharding))
 
     # ------------------------------------------------------------------
     def _engine(self, b_csr, b_geo, b_geo_d):
@@ -415,6 +426,14 @@ class WindowDomain:
 
         def select(mask, cap):
             order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+            if cap > order.shape[0]:
+                # pad to the static cap, never clamp (same fix as
+                # domain._take_first): halo_cap can exceed slab_cap after
+                # an elastic-recovery growth
+                pad = jnp.zeros((cap - order.shape[0],), jnp.int32)
+                return (jnp.concatenate([order, pad]),
+                        jnp.concatenate([mask[order],
+                                         jnp.zeros(pad.shape, bool)]))
             idx = order[:cap]
             return idx, mask[idx]
 
@@ -629,3 +648,18 @@ class WindowDomain:
         return FluidState(*(
             jnp.asarray(np.asarray(f)[sel][order]) for f in state.fluid
         ))
+
+    def export(self, state: DomainState):
+        """(fluid, au, av) in original id order — a LOSSLESS host-side
+        checkpoint including the leapfrog acceleration carry.  Feed back
+        through ``init(fluid, au, av)`` (of this domain or a rebuilt one
+        with different capacities) to resume bit-exactly."""
+        ids = np.asarray(state.ids)
+        sel = ids >= 0
+        order = np.argsort(ids[sel])
+        fl = FluidState(*(
+            jnp.asarray(np.asarray(f)[sel][order]) for f in state.fluid
+        ))
+        au = np.asarray(state.au)[sel][order]
+        av = np.asarray(state.av)[sel][order]
+        return fl, au, av

@@ -220,3 +220,82 @@ def test_simrunner_pallas_dd_renders(scene, tmp_path):
     assert frames[-1].any()                     # something was drawn
     ref = np.asarray(make_renderer(cfg)(runner.domain.gather(res.sim)))
     assert (frames[-1] == ref).all()            # matches the jnp renderer
+
+
+def test_take_first_pads_when_cap_exceeds_source():
+    """Regression: _take_first(order[:cap]) silently clamped to the source
+    length when cap > len(mask), breaking every downstream static shape —
+    hit in practice whenever a grown halo_cap exceeds slab_cap."""
+    import jax.numpy as jnp
+
+    from pi_sph_fluid_tpu.parallel.domain import _take_first
+
+    mask = jnp.asarray([True, False, True, False])
+    vals = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    packed, lane_valid, ov = _take_first(mask, [vals], cap=6)
+    assert packed[0].shape == (6,)
+    assert lane_valid.shape == (6,)
+    np.testing.assert_array_equal(np.asarray(packed[0]), [1, 3, 0, 0, 0, 0])
+    assert int(ov) == 0
+
+
+def test_export_init_roundtrip_resumes_exactly(scene):
+    """domain.export() -> init(fluid, au, av) must resume the trajectory:
+    the leapfrog acceleration carry survives the round trip (init without
+    it would zero the first half-kick)."""
+    cfg, fluid, boundary, bgrid = scene
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, _mesh(4), **KW)
+    step = jax.jit(dd.make_step())
+    state = dd.init(fluid)
+    for _ in range(3):
+        state, _ = step(state, (0.0, -9.81))
+    fl, au, av = dd.export(state)
+    re_state = dd.init(fl, au, av)
+    a, _ = step(state, (0.0, -9.81))
+    b, _ = step(re_state, (0.0, -9.81))
+    ga, gb = dd.gather(a), dd.gather(b)
+    for f in ga._fields:
+        np.testing.assert_allclose(np.asarray(getattr(ga, f)),
+                                   np.asarray(getattr(gb, f)),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_simrunner_dd_autocap_recovery(scene):
+    """Elastic capacity recovery on the multi-chip backend: window cap 128
+    overflows the dam scene; the runner grows every dd capacity, reverts
+    through export/init (shape-changing rebuild) and replays — final run
+    reports zero overflow and tracks a clean fixed-cap run."""
+    import io as _io
+
+    from pi_sph_fluid_tpu.io.gravity import ConstantGravity
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg, fluid, _, _ = scene
+    _, braw = build_dam_break_scene(cfg)
+    log = _io.StringIO()
+    runner = SimRunner(cfg, fluid, braw, backend="pallas-dd",
+                       engine_opts=dict(slabs=4, interpret=True, tq=32,
+                                        qb=8, cap=128, seg_q=2),
+                       render=False, resort_every=2, max_cap=512)
+    res = runner.run(ConstantGravity(cfg), None, sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4, report_stream=log)
+    assert res.recoveries >= 1
+    assert runner.domain.spec.cap > 128
+    assert res.reporter.total_overflow == 0
+    assert "WINDOW OVERFLOW" in log.getvalue()
+
+    clean = SimRunner(cfg, fluid, braw, backend="pallas-dd",
+                      engine_opts=dict(slabs=4, interpret=True, tq=32,
+                                       qb=8, seg_q=2,
+                                       cap=runner.domain.spec.cap),
+                      render=False, resort_every=2, auto_cap=False)
+    res2 = clean.run(ConstantGravity(cfg), None, sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4)
+    assert res2.reporter.total_overflow == 0
+    a = runner.domain.gather(res.sim)
+    b = clean.domain.gather(res2.sim)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.rho), np.asarray(b.rho),
+                               atol=1e-3, rtol=1e-6)
