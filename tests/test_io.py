@@ -273,3 +273,41 @@ def test_autocap_settle_recovery():
     assert res.recoveries >= 1
     assert "during settle" in log.getvalue()
     assert res.reporter.total_overflow == 0
+
+
+def test_autocap_recovery_with_renderer(tmp_path):
+    """Recovery under a rendered run: the pre-revert frames already pushed
+    stay (tearing-tolerant display contract), the pending frame is
+    discarded, and the replay re-pushes corrected frames — the LAST frame
+    must equal a clean fixed-cap run's last frame."""
+    from pi_sph_fluid_tpu.io.display import FileSink
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_drop_scene
+
+    cfg = SPHConfig()
+    fluid, braw = build_drop_scene(cfg)
+    runner = SimRunner(cfg, fluid, braw, backend="pallas",
+                       engine_opts=dict(tq=32, qb=8, cap=128, seg_q=2,
+                                        interpret=True),
+                       render=True, max_cap=512)
+    p1 = tmp_path / "recovered.bin"
+    sink = FileSink(str(p1))
+    res = runner.run(ConstantGravity(cfg), sink, sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4)
+    sink.close()
+    assert res.recoveries >= 1
+    assert res.reporter.total_overflow == 0
+
+    clean = SimRunner(cfg, fluid, braw, backend="pallas",
+                      engine_opts=dict(tq=32, qb=8, seg_q=2, interpret=True,
+                                       cap=runner.engine.spec.cap),
+                      render=True, auto_cap=False)
+    p2 = tmp_path / "clean.bin"
+    sink2 = FileSink(str(p2))
+    clean.run(ConstantGravity(cfg), sink2, sim_seconds=8 * cfg.dt,
+              steps_per_dispatch=4)
+    sink2.close()
+    rec = np.fromfile(p1, np.uint8).reshape(-1, 1024)
+    ref = np.fromfile(p2, np.uint8).reshape(-1, 1024)
+    assert rec.shape[0] >= ref.shape[0]      # replay re-pushes frames
+    assert (rec[-1] == ref[-1]).all()
