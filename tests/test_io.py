@@ -311,3 +311,42 @@ def test_autocap_recovery_with_renderer(tmp_path):
     ref = np.fromfile(p2, np.uint8).reshape(-1, 1024)
     assert rec.shape[0] >= ref.shape[0]      # replay re-pushes frames
     assert (rec[-1] == ref[-1]).all()
+
+
+def test_autocap_recovery_with_resume():
+    """Revert when the start checkpoint is a RESUMED state: the runner must
+    reuse the resume snapshot (never re-prime, which would restart the
+    scene) and replay it under the grown cap — final state matches running
+    the same resume under the recovered cap from the start."""
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg = SPHConfig()
+    fluid, braw = build_dam_break_scene(cfg)
+    warm = SimRunner(cfg, fluid, braw, backend="pallas",
+                     engine_opts=dict(tq=32, qb=8, cap=256, seg_q=2,
+                                      interpret=True),
+                     render=False, auto_cap=False)
+    res0 = warm.run(ConstantGravity(cfg), sim_seconds=4 * cfg.dt,
+                    steps_per_dispatch=4)
+
+    log = io.StringIO()
+    runner = SimRunner(cfg, fluid, braw, backend="pallas",
+                       engine_opts=dict(tq=32, qb=8, cap=128, seg_q=2,
+                                        interpret=True),
+                       render=False, max_cap=512)
+    res = runner.run(ConstantGravity(cfg), sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4, resume=res0.sim,
+                     report_stream=log)
+    assert res.recoveries >= 1
+    assert res.reporter.total_overflow == 0
+
+    clean = SimRunner(cfg, fluid, braw, backend="pallas",
+                      engine_opts=dict(tq=32, qb=8, seg_q=2, interpret=True,
+                                       cap=runner.engine.spec.cap),
+                      render=False, auto_cap=False)
+    res2 = clean.run(ConstantGravity(cfg), sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4, resume=res0.sim)
+    a = runner.engine.unpad(res.sim)
+    b = clean.engine.unpad(res2.sim)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
