@@ -219,7 +219,7 @@ def main(argv=None):
                          "transients (overflow is counted, never silent)")
     rp.add_argument("--max-cap", type=int, default=1024,
                     help="elastic-capacity ceiling: on window overflow the "
-                         "runner doubles cap (recompiling) and replays the "
+                         "runner grows cap 1.5x (recompiling) and replays the "
                          "dirty interval from the last clean report, up to "
                          "this cap (pallas backend)")
     rp.add_argument("--no-auto-cap", action="store_true",

@@ -119,6 +119,14 @@ class SimRunner:
         self._wire(multi)
 
     # ------------------------------------------------------------------
+    def _next_cap(self, old: int) -> int:
+        """Escalation ladder: 1.5x rounded up to the 128-lane quantum,
+        bounded by max_cap.  Gentler than doubling so a recovered run
+        lands near the smallest sufficient cap — cap directly sets kernel
+        lane work (256/384/512 measured 16.0/15.6/13.6M ps/s at 100k) —
+        at the price of at most one extra recompile per factor of 2."""
+        return min(-(-(old * 3 // 2) // 128) * 128, self.max_cap)
+
     def _build_pallas(self, cap: int | None = None):
         """(Re)build the single-chip window-engine pipeline.  Called at
         construction and again by run()'s elastic-capacity recovery with a
@@ -139,7 +147,7 @@ class SimRunner:
         self._resort_every = self._resort
         self._wire(multi)
 
-    def _build_dd(self, grow: bool = False):
+    def _build_dd(self, grow_cap: int | None = None):
         """(Re)build the multi-chip slab pipeline (SURVEY §5): the window
         kernels per device inside shard_map, ppermute migration + halo
         exchange.  Rendering is demo-grade: the sharded state is gathered
@@ -148,24 +156,27 @@ class SimRunner:
         pipeline), fine for demos, not for the 60 Hz 1M design point
         (that is the single-chip WindowRenderer's job).
 
-        ``grow=True`` (the elastic-recovery rebuild) doubles the window
-        cap AND the halo/migration/slab buffer capacities: dd overflow is
-        reported as one aggregate counter, so recovery grows every
-        capacity rather than guessing which one starved.  State shapes
-        change with slab/halo caps — revert goes through
-        domain.export()/init() (see run())."""
+        ``grow_cap`` (the elastic-recovery rebuild) sets the new window
+        cap and scales the halo/migration/slab buffer capacities along
+        the same ladder: dd overflow is reported as one aggregate
+        counter, so recovery grows every capacity rather than guessing
+        which one starved.  State shapes change with slab/halo caps —
+        revert goes through domain.export()/init() (see run())."""
         import numpy as _np
         from jax.sharding import Mesh
 
         from ..parallel.domain_window import WindowDomain
 
+        def up(x, q):
+            return -(-(x * 3 // 2) // q) * q    # 1.5x on the q-quantum
+
         opts = dict(self._dd_opts)
         opts.pop("slabs", None)
-        if grow:
-            opts["cap"] = 2 * self.domain.spec.cap
-            opts["halo_cap"] = 2 * self.domain.halo_cap
-            opts["mig_cap"] = 2 * self.domain.mig_cap
-            opts["slab_cap"] = min(2 * self.domain.slab_cap,
+        if grow_cap is not None:
+            opts["cap"] = grow_cap
+            opts["halo_cap"] = up(self.domain.halo_cap, 64)
+            opts["mig_cap"] = up(self.domain.mig_cap, 64)
+            opts["slab_cap"] = min(up(self.domain.slab_cap, 128),
                                    -(-(self.n_fluid + 64) // 128) * 128)
             self._dd_opts.update(opts)
         devs = jax.devices()
@@ -345,7 +356,7 @@ class SimRunner:
             sim, settle_ov = _start()
             while use_ac and settle_ov > 0:
                 old_cap = self.engine.spec.cap
-                new_cap = min(old_cap * 2, self.max_cap)
+                new_cap = self._next_cap(old_cap)
                 if new_cap <= old_cap:
                     use_ac = False
                     if report_stream is not None:
@@ -423,7 +434,7 @@ class SimRunner:
                 if reporter.total_overflow > 0:
                     old_cap = (self.engine.spec.cap if self.engine is not None
                                else self.domain.spec.cap)
-                    new_cap = min(old_cap * 2, self.max_cap)
+                    new_cap = self._next_cap(old_cap)
                     if new_cap <= old_cap:
                         use_ac = False
                         if report_stream is not None:
@@ -446,7 +457,7 @@ class SimRunner:
                             # so the checkpoint rides the lossless host
                             # export/import (leapfrog carry included)
                             ck_export = self.domain.export(ck_sim)
-                            self._build_dd(grow=True)
+                            self._build_dd(grow_cap=new_cap)
                             if ck_is_start and resume is None:
                                 ck_sim = _start_recovered()
                             else:

@@ -350,3 +350,18 @@ def test_autocap_recovery_with_resume():
     a = runner.engine.unpad(res.sim)
     b = clean.engine.unpad(res2.sim)
     np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+
+
+def test_next_cap_ladder():
+    """The escalation ladder steps 1.5x rounded up to the 128-lane quantum,
+    clamped at max_cap."""
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_drop_scene
+
+    fluid, braw = build_drop_scene(CFG)
+    r = SimRunner(CFG, fluid, braw, backend="pallas", render=False,
+                  engine_opts=dict(tq=32, qb=8, cap=128, seg_q=2,
+                                   interpret=True),
+                  max_cap=1024)
+    assert [r._next_cap(c) for c in (128, 256, 384, 512, 896)] == \
+        [256, 384, 640, 768, 1024]
