@@ -42,7 +42,7 @@ class RunResult:
         return self.n_fluid * self.steps / self.wall_s if self.wall_s else 0.0
 
     n_fluid: int = 0
-    recoveries: int = 0   # elastic-capacity reverts taken (pallas backend)
+    recoveries: int = 0   # elastic-capacity reverts taken (pallas/pallas-dd)
 
 
 class SimRunner:
@@ -349,9 +349,10 @@ class SimRunner:
         recoveries = 0
 
         def _start_recovered():
-            """_start() with settle-overflow recovery: double the cap and
-            redo prime+settle until the pre-roll is clean (or the ceiling
-            is hit).  Used at run start AND on a mid-run revert-to-start."""
+            """_start() with settle-overflow recovery: grow the cap (1.5x
+            ladder) and redo prime+settle until the pre-roll is clean (or
+            the ceiling is hit).  Used at run start AND on a mid-run
+            revert-to-start."""
             nonlocal use_ac, recoveries
             sim, settle_ov = _start()
             while use_ac and settle_ov > 0:
