@@ -136,6 +136,11 @@ def cmd_run(args):
     extra = (f", {result.recoveries} capacity recover"
              f"{'y' if result.recoveries == 1 else 'ies'}"
              if result.recoveries else "")
+    by = result.reporter.total_overflow_by
+    if by is not None and int(by.sum()) > 0:   # dd attribution, if any
+        named = {n: int(c) for n, c in
+                 zip(("window", "halo", "mig", "slab"), by) if c > 0}
+        extra += f", unrecovered overflow by capacity: {named}"
     print(f"\n{result.steps} steps in {result.wall_s:.2f}s "
           f"({result.particle_steps_per_s / 1e6:.2f}M particle-steps/s)"
           f"{extra}", file=sys.stderr)

@@ -147,7 +147,33 @@ class SimRunner:
         self._resort_every = self._resort
         self._wire(multi)
 
-    def _build_dd(self, grow_cap: int | None = None):
+    def _dd_growth(self, cats: set) -> dict:
+        """Proposed capacity growth for the starved categories ('window',
+        'halo', 'mig', 'slab'), each on its own 1.5x ladder (window rounds
+        to the 128-lane quantum via _next_cap; halo/mig to 64, slab to
+        128).  Categories already at a ceiling are omitted — window at
+        ``max_cap``, slab at the whole-fluid bound; halo/mig are
+        ceiling-free (physically bounded by slab contents)."""
+        def up(x, q):
+            return -(-(x * 3 // 2) // q) * q    # 1.5x on the q-quantum
+
+        d = self.domain
+        grow = {}
+        if "window" in cats:
+            nc = self._next_cap(d.spec.cap)
+            if nc > d.spec.cap:
+                grow["cap"] = nc
+        if "halo" in cats:
+            grow["halo_cap"] = up(d.halo_cap, 64)
+        if "mig" in cats:
+            grow["mig_cap"] = up(d.mig_cap, 64)
+        if "slab" in cats:
+            ns = min(up(d.slab_cap, 128), -(-(self.n_fluid + 64) // 128) * 128)
+            if ns > d.slab_cap:
+                grow["slab_cap"] = ns
+        return grow
+
+    def _build_dd(self, grow: dict | None = None):
         """(Re)build the multi-chip slab pipeline (SURVEY §5): the window
         kernels per device inside shard_map, ppermute migration + halo
         exchange.  Rendering is demo-grade: the sharded state is gathered
@@ -156,29 +182,22 @@ class SimRunner:
         pipeline), fine for demos, not for the 60 Hz 1M design point
         (that is the single-chip WindowRenderer's job).
 
-        ``grow_cap`` (the elastic-recovery rebuild) sets the new window
-        cap and scales the halo/migration/slab buffer capacities along
-        the same ladder: dd overflow is reported as one aggregate
-        counter, so recovery grows every capacity rather than guessing
-        which one starved.  State shapes change with slab/halo caps —
-        revert goes through domain.export()/init() (see run())."""
+        ``grow`` (the elastic-recovery rebuild) overrides capacity options
+        with the values _dd_growth proposed for the starved categories —
+        the per-capacity overflow attribution (StepStats.overflow_by)
+        names which buffer starved, so recovery grows exactly that one.
+        State shapes change with slab/halo caps — revert goes through
+        domain.export()/init() (see run())."""
         import numpy as _np
         from jax.sharding import Mesh
 
         from ..parallel.domain_window import WindowDomain
 
-        def up(x, q):
-            return -(-(x * 3 // 2) // q) * q    # 1.5x on the q-quantum
-
         opts = dict(self._dd_opts)
         opts.pop("slabs", None)
-        if grow_cap is not None:
-            opts["cap"] = grow_cap
-            opts["halo_cap"] = up(self.domain.halo_cap, 64)
-            opts["mig_cap"] = up(self.domain.mig_cap, 64)
-            opts["slab_cap"] = min(up(self.domain.slab_cap, 128),
-                                   -(-(self.n_fluid + 64) // 128) * 128)
-            self._dd_opts.update(opts)
+        if grow:
+            opts.update(grow)
+            self._dd_opts.update(grow)
         devs = jax.devices()
         n_slabs = self._dd_opts.get("slabs") or len(devs)
         mesh = Mesh(_np.asarray(devs[:n_slabs]), ("x",))
@@ -201,7 +220,8 @@ class SimRunner:
                 max_rho_error_pct=st["max_rho_error_pct"],
                 max_speed=st["max_speed"],
                 neighbor_overflow=st["overflow"]
-                + lost * jnp.int32(1_000_000))
+                + lost * jnp.int32(1_000_000),
+                overflow_by=st["overflow_by"])
 
         self._settle_multi = None   # WindowDomain has no damped mode
         self._resort_every = self._resort
@@ -255,10 +275,16 @@ class SimRunner:
             # overflow counts to 1e9-scale; int32 summing across a long
             # scan would wrap negative and hide the scream
             ov = _jnp.sum(st.neighbor_overflow.astype(_jnp.float32))
+            ovb = st.overflow_by
+            if ovb is not None:   # (k, 4) -> (4,), same saturation
+                ovb = _jnp.minimum(
+                    _jnp.sum(ovb.astype(_jnp.float32), axis=0), 1e9
+                ).astype(_jnp.int32)
             return type(st)(
                 max_rho_error_pct=_jnp.max(st.max_rho_error_pct),
                 max_speed=_jnp.max(st.max_speed),
                 neighbor_overflow=_jnp.minimum(ov, 1e9).astype(_jnp.int32),
+                overflow_by=ovb,
             )
 
         if self._renderer is None:
@@ -433,42 +459,70 @@ class SimRunner:
                 # run) — the lazy reporter pays its host drain exactly here,
                 # so recovery adds no per-dispatch syncs
                 if reporter.total_overflow > 0:
-                    old_cap = (self.engine.spec.cap if self.engine is not None
-                               else self.domain.spec.cap)
-                    new_cap = self._next_cap(old_cap)
-                    if new_cap <= old_cap:
-                        use_ac = False
-                        if report_stream is not None:
-                            print(f"WINDOW OVERFLOW at cap={old_cap} "
-                                  f"(max-cap reached): continuing with "
-                                  f"lost pairs", file=report_stream,
-                                  flush=True)
-                    else:
+                    if self.backend == "pallas":
+                        old_cap = self.engine.spec.cap
+                        new_cap = self._next_cap(old_cap)
+                        if new_cap <= old_cap:
+                            use_ac = False
+                            if report_stream is not None:
+                                print(f"WINDOW OVERFLOW at cap={old_cap} "
+                                      f"(max-cap reached): continuing with "
+                                      f"lost pairs", file=report_stream,
+                                      flush=True)
+                            continue
                         if report_stream is not None:
                             print(f"WINDOW OVERFLOW: cap {old_cap} -> "
                                   f"{new_cap}, reverting to t={ck_t:.2f}s "
                                   f"and replaying", file=report_stream,
                                   flush=True)
-                        if self.backend == "pallas":
-                            self._build_pallas(cap=new_cap)
-                            if ck_is_start:
-                                ck_sim = _start_recovered()
+                        self._build_pallas(cap=new_cap)
+                        if ck_is_start:
+                            ck_sim = _start_recovered()
+                    else:
+                        # dd: grow exactly the starved capacities, named by
+                        # the per-category attribution counters
+                        by = reporter.total_overflow_by
+                        names = ("window", "halo", "mig", "slab")
+                        if by is None or int(by.sum()) == 0:
+                            # scream-only overflow (non-finite rows, lost
+                            # particles) with no counted capacity crossing:
+                            # nothing to blame, grow everything (the
+                            # pre-attribution fallback)
+                            cats = set(names)
                         else:
-                            # dd: buffer shapes change with the grown caps,
-                            # so the checkpoint rides the lossless host
-                            # export/import (leapfrog carry included)
-                            ck_export = self.domain.export(ck_sim)
-                            self._build_dd(grow_cap=new_cap)
-                            if ck_is_start and resume is None:
-                                ck_sim = _start_recovered()
-                            else:
-                                ck_sim = self.domain.init(*ck_export)
-                        sim, i, sim_t = ck_sim, ck_i, ck_t
-                        reporter.restore(ck_rep)
-                        replay_pos = 0
-                        pending_frame = None
-                        recoveries += 1
-                        t_mono0 = time.monotonic() - sim_t
+                            cats = {n for n, c in zip(names, by)
+                                    if int(c) > 0}
+                        grow = self._dd_growth(cats)
+                        if not grow:
+                            use_ac = False
+                            if report_stream is not None:
+                                print(f"OVERFLOW in {sorted(cats)} with "
+                                      f"every starved capacity at its "
+                                      f"ceiling: continuing with losses",
+                                      file=report_stream, flush=True)
+                            continue
+                        if report_stream is not None:
+                            gtxt = ", ".join(f"{k} -> {v}"
+                                             for k, v in sorted(grow.items()))
+                            print(f"OVERFLOW in {sorted(cats)}: growing "
+                                  f"{gtxt}, reverting to t={ck_t:.2f}s "
+                                  f"and replaying", file=report_stream,
+                                  flush=True)
+                        # buffer shapes change with the grown caps, so the
+                        # checkpoint rides the lossless host export/import
+                        # (leapfrog carry included)
+                        ck_export = self.domain.export(ck_sim)
+                        self._build_dd(grow=grow)
+                        if ck_is_start and resume is None:
+                            ck_sim = _start_recovered()
+                        else:
+                            ck_sim = self.domain.init(*ck_export)
+                    sim, i, sim_t = ck_sim, ck_i, ck_t
+                    reporter.restore(ck_rep)
+                    replay_pos = 0
+                    pending_frame = None
+                    recoveries += 1
+                    t_mono0 = time.monotonic() - sim_t
                     continue
                 if line is not None:
                     ck_sim, ck_i, ck_t = sim, i, sim_t

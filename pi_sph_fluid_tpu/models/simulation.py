@@ -50,6 +50,11 @@ class StepStats(NamedTuple):
     max_rho_error_pct: jnp.ndarray
     max_speed: jnp.ndarray
     neighbor_overflow: jnp.ndarray  # candidates dropped by fixed capacity
+    # Per-capacity attribution [window, halo, migration, slab], dd backend
+    # only (None elsewhere): lets elastic recovery grow exactly the starved
+    # buffer instead of every capacity at once.  The aggregate counter above
+    # stays authoritative (it also carries the non-finite/lost screams).
+    overflow_by: jnp.ndarray | None = None
 
 
 def _sort_and_neighbors(fluid: FluidState, ids, boundary_grid: GridContext, cfg: SPHConfig):

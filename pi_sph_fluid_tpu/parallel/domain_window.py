@@ -334,11 +334,17 @@ class WindowDomain:
             probe = fluid.x + sp2 + fluid.rho
             bad = jnp.sum((valid & ~jnp.isfinite(probe)).astype(jnp.int32))
             overflow = overflow + jnp.minimum(bad, 1000) * jnp.int32(1_000_000)
+            # per-capacity attribution [window, halo, mig, slab]: recovery
+            # grows exactly the starved buffer (host_loop targeted rebuild)
+            ov_by = jnp.stack([
+                ov_w1.astype(jnp.int32), ov_h1.astype(jnp.int32),
+                ov_mig.astype(jnp.int32), ov_cap.astype(jnp.int32)])
             stats = (
                 jax.lax.pmax(jnp.maximum(rho_err, 0.0) / rho0 * 100.0, self.axis),
                 jnp.sqrt(jax.lax.pmax(speed2, self.axis)),
                 jax.lax.psum(overflow, self.axis),
                 jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), self.axis),
+                jax.lax.psum(ov_by, self.axis),
             )
             return tuple(fluid), ids, au, av, stats
 
@@ -349,7 +355,7 @@ class WindowDomain:
             in_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
                       spec_p, spec_p, spec_p, P()),
             out_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
-                       (P(), P(), P(), P())),
+                       (P(), P(), P(), P(), P())),
             # pallas_call outputs carry no varying-mesh-axes annotation
             check_vma=False,
         )
@@ -366,6 +372,7 @@ class WindowDomain:
                 "max_speed": stats[1],
                 "overflow": stats[2],
                 "n_valid": stats[3],
+                "overflow_by": stats[4],
             }
 
         return step
@@ -515,7 +522,7 @@ class WindowDomain:
             def pair_passes(pk, g):
                 return eng._pair_core(pk, ctx, g)
 
-            def tick_stats(pk, dens4, ovf):
+            def tick_stats(pk, dens4, ovf, ov_by=None):
                 rho0 = jnp.float32(cfg.rho_0)
                 q_valid = pk[:, 4] > 0
                 sp2 = pk[:, 2] ** 2 + pk[:, 3] ** 2
@@ -527,12 +534,15 @@ class WindowDomain:
                 bad = jnp.sum((q_valid & ~jnp.isfinite(probe)).astype(jnp.int32))
                 ovf = ovf.astype(jnp.int32) + \
                     jnp.minimum(bad, 1000) * jnp.int32(1_000_000)
+                if ov_by is None:   # carried ticks: no capacity crossings
+                    ov_by = jnp.zeros((4,), jnp.int32)
                 return (
                     jax.lax.pmax(jnp.maximum(rho_err, 0.0) / rho0 * 100.0, self.axis),
                     jnp.sqrt(jax.lax.pmax(speed2, self.axis)),
                     jax.lax.psum(ovf.astype(jnp.int32), self.axis),
                     jax.lax.psum(jnp.sum(q_valid & (pk[:, 7] >= 0)).astype(jnp.int32),
                                  self.axis),
+                    jax.lax.psum(ov_by, self.axis),
                 )
 
             def finish(pk, dens4, acc):
@@ -548,7 +558,10 @@ class WindowDomain:
             dens4, acc = pair_passes(pk, g_group[0])
             pk = finish(pk, dens4, acc)
             ov0 = ov_mig + ov_cap + ov_h + ov_w
-            st0 = tick_stats(pk, dens4, ov0)
+            ov_by0 = jnp.stack([
+                ov_w.astype(jnp.int32), ov_h.astype(jnp.int32),
+                ov_mig.astype(jnp.int32), ov_cap.astype(jnp.int32)])
+            st0 = tick_stats(pk, dens4, ov0, ov_by0)
 
             # carried-tick ghost refresh plumbing: whole-row gathers and ONE
             # whole-row scatter.  The round-2 form scattered column slices
@@ -619,7 +632,7 @@ class WindowDomain:
             in_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
                       spec_p, spec_p, spec_p, P()),
             out_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
-                       (P(), P(), P(), P())),
+                       (P(), P(), P(), P(), P())),
             check_vma=False,
         )
 
@@ -635,6 +648,7 @@ class WindowDomain:
                 "max_speed": stats[1],
                 "overflow": stats[2],
                 "n_valid": stats[3],
+                "overflow_by": stats[4],
             }
 
         return group

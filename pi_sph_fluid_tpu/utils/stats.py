@@ -40,6 +40,7 @@ class StatsReporter:
     _worst_rho: object = 0.0      # device or python scalars; max-merged lazily
     _worst_speed: object = 0.0
     _overflow: object = 0
+    _overflow_by: object = None   # (4,) [window, halo, mig, slab] or None
     _window_rho: object = 0.0
     _window_speed: object = 0.0
 
@@ -60,6 +61,14 @@ class StatsReporter:
         self._drain()
         return int(self._overflow)
 
+    @property
+    def total_overflow_by(self):
+        """Per-capacity overflow attribution [window, halo, mig, slab]
+        (np.int64 (4,)), or None when the backend reports only the
+        aggregate.  Drives targeted elastic recovery on the dd backend."""
+        self._drain()
+        return None if self._overflow_by is None else self._overflow_by.copy()
+
     def _drain(self):
         """Fold pending device stats into the host-side aggregates."""
         for st in self._pending:
@@ -71,6 +80,12 @@ class StatsReporter:
             self._worst_rho = max(float(self._worst_rho), rho)
             self._worst_speed = max(float(self._worst_speed), speed)
             self._overflow = int(self._overflow) + ov
+            ovb = getattr(st, "overflow_by", None)
+            if ovb is not None:
+                ovb = np.asarray(ovb, np.int64).reshape(-1, 4).sum(axis=0)
+                base = (np.zeros(4, np.int64) if self._overflow_by is None
+                        else self._overflow_by)
+                self._overflow_by = base + ovb
         self._pending.clear()
 
     def snapshot(self) -> tuple:
@@ -78,12 +93,13 @@ class StatsReporter:
         io/host_loop.SimRunner's elastic-capacity recovery rewinds the
         reporter alongside the sim state)."""
         self._drain()
+        ovb = None if self._overflow_by is None else self._overflow_by.copy()
         return (self.t, self._last_report_t, float(self._worst_rho),
-                float(self._worst_speed), int(self._overflow))
+                float(self._worst_speed), int(self._overflow), ovb)
 
     def restore(self, snap: tuple) -> None:
         (self.t, self._last_report_t, self._worst_rho,
-         self._worst_speed, self._overflow) = snap
+         self._worst_speed, self._overflow, self._overflow_by) = snap
         self._window_rho = 0.0
         self._window_speed = 0.0
         self._pending.clear()

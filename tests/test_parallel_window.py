@@ -73,6 +73,9 @@ def test_multi_step_scan(scene):
     state2, st = multi(state, gt)
     assert int(st["n_valid"][-1]) == fluid.n
     assert int(np.max(np.asarray(st["overflow"]))) == 0
+    # per-capacity attribution [window, halo, mig, slab] rides along
+    assert st["overflow_by"].shape == (5, 4)
+    assert int(np.max(np.asarray(st["overflow_by"]))) == 0
     assert np.isfinite(np.asarray(state2.fluid.x)).all()
 
 
@@ -175,11 +178,15 @@ def test_halo_overflow_counted_not_silent(scene):
     step = jax.jit(dd.make_step())
     g = jnp.asarray(G, jnp.float32)
     ov = 0
+    by = np.zeros(4, np.int64)
     for _ in range(3):
         state, st = step(state, g)
         ov = max(ov, int(st["overflow"]))
+        by = np.maximum(by, np.asarray(st["overflow_by"], np.int64))
         assert int(st["n_valid"]) == fluid.n  # ghosts dropped, owners kept
     assert ov > 0
+    # attribution blames the halo column and nothing else
+    assert by[1] > 0 and by[0] == 0 and by[2] == 0 and by[3] == 0
 
 
 def test_window_overflow_counted_in_dd(scene):
@@ -192,6 +199,8 @@ def test_window_overflow_counted_in_dd(scene):
     step = jax.jit(dd.make_step())
     state, st = step(state, jnp.asarray(G, jnp.float32))
     assert int(st["overflow"]) > 0
+    by = np.asarray(st["overflow_by"], np.int64)
+    assert by[0] > 0 and by[1] == 0    # blamed on the window cap
 
 
 def test_simrunner_pallas_dd_renders(scene, tmp_path):
@@ -262,9 +271,11 @@ def test_export_init_roundtrip_resumes_exactly(scene):
 
 def test_simrunner_dd_autocap_recovery(scene):
     """Elastic capacity recovery on the multi-chip backend: window cap 128
-    overflows the dam scene; the runner grows every dd capacity, reverts
-    through export/init (shape-changing rebuild) and replays — final run
-    reports zero overflow and tracks a clean fixed-cap run."""
+    overflows the dam scene; the attribution counters name the window as
+    the starved capacity, so the runner grows ONLY the window cap (halo/
+    migration/slab stay put), reverts through export/init (shape-changing
+    rebuild) and replays — final run reports zero overflow and tracks a
+    clean fixed-cap run."""
     import io as _io
 
     from pi_sph_fluid_tpu.io.gravity import ConstantGravity
@@ -278,12 +289,17 @@ def test_simrunner_dd_autocap_recovery(scene):
                        engine_opts=dict(slabs=4, interpret=True, tq=32,
                                         qb=8, cap=128, seg_q=2),
                        render=False, resort_every=2, max_cap=512)
+    caps0 = (runner.domain.halo_cap, runner.domain.mig_cap,
+             runner.domain.slab_cap)
     res = runner.run(ConstantGravity(cfg), None, sim_seconds=8 * cfg.dt,
                      steps_per_dispatch=4, report_stream=log)
     assert res.recoveries >= 1
     assert runner.domain.spec.cap > 128
     assert res.reporter.total_overflow == 0
-    assert "WINDOW OVERFLOW" in log.getvalue()
+    assert "OVERFLOW in ['window']" in log.getvalue()
+    # targeted growth: only the starved capacity moved
+    assert (runner.domain.halo_cap, runner.domain.mig_cap,
+            runner.domain.slab_cap) == caps0
 
     clean = SimRunner(cfg, fluid, braw, backend="pallas-dd",
                       engine_opts=dict(slabs=4, interpret=True, tq=32,
@@ -299,3 +315,32 @@ def test_simrunner_dd_autocap_recovery(scene):
                                atol=1e-6, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a.rho), np.asarray(b.rho),
                                atol=1e-3, rtol=1e-6)
+
+
+def test_dd_recovery_targets_the_starved_halo(scene):
+    """Per-capacity attribution: a deliberately tiny halo_cap (8) starves
+    the halo exchange while the window cap is adequate — recovery must
+    name 'halo' in the log, grow halo_cap on its ladder, and leave the
+    window/migration/slab capacities untouched."""
+    import io as _io
+
+    from pi_sph_fluid_tpu.io.gravity import ConstantGravity
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg, fluid, _, _ = scene
+    _, braw = build_dam_break_scene(cfg)
+    log = _io.StringIO()
+    runner = SimRunner(cfg, fluid, braw, backend="pallas-dd",
+                       engine_opts=dict(slabs=4, interpret=True, tq=32,
+                                        qb=8, cap=256, seg_q=2, halo_cap=8),
+                       render=False, resort_every=2, max_cap=512)
+    mig0, slab0 = runner.domain.mig_cap, runner.domain.slab_cap
+    res = runner.run(ConstantGravity(cfg), None, sim_seconds=8 * cfg.dt,
+                     steps_per_dispatch=4, report_stream=log)
+    assert res.recoveries >= 1
+    assert res.reporter.total_overflow == 0
+    assert "'halo'" in log.getvalue()
+    assert runner.domain.halo_cap > 8
+    assert runner.domain.spec.cap == 256          # window untouched
+    assert (runner.domain.mig_cap, runner.domain.slab_cap) == (mig0, slab0)
