@@ -1,0 +1,104 @@
+"""Drop-test trajectory parity vs the C reference at the ~3k-particle scale.
+
+BASELINE.md's parity target is "~3k particles, bit-comparable density/
+position trajectories" — an 11x finer drop than the reference's shipped
+R=0.075 scene (269 fluid).  The golden fixture is the reference itself
+recompiled at R=0.0226 (tools/make_golden.py --r 0.0226 --steps 2000
+--dump-every 100): 3021 fluid + 532 boundary particles, everything else
+(H, DT, V, grid) deriving from R exactly as in `pi_sph_fluid.c:11-20`.
+
+Measured parity of the float32 jnp path against that run (all 2000 steps
+pre-impact: the blob free-falls ~15 cm of its 30 cm drop, with live
+pressure/viscosity dynamics from the deficient-density surface):
+
+    scene:      positions/masses bitwise identical (3021 particles)
+    step 500:   |dpos| <= 2.4e-7 (one ulp of the domain coordinate)
+    step 2000:  |dpos| <= 4.9e-6, max rho rel err <= 3.1e-5
+
+Tolerances below pin that with ~10x headroom against platform FP variation
+(fma fusion etc.), same policy as tests/test_parity.py.
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pi_sph_fluid_tpu.config import SPHConfig
+from pi_sph_fluid_tpu.models.boundary import prepare_boundary
+from pi_sph_fluid_tpu.models.scene import build_drop_scene
+from pi_sph_fluid_tpu.models.simulation import make_multi_step, prime
+
+FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "golden_drop_3k.npz"
+CFG = SPHConfig(r=0.0226)
+G = (0.0, -9.81)
+
+pytestmark = pytest.mark.skipif(not FIXTURE.exists(), reason="golden fixture missing")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def trajectory(golden):
+    """Run the framework to step 2000, capturing state at each golden dump."""
+    fluid, braw = build_drop_scene(CFG)
+    boundary, bgrid = prepare_boundary(braw, CFG)
+    sim = prime(fluid, boundary, bgrid, G, CFG)
+    multi = jax.jit(make_multi_step(CFG, boundary, bgrid))
+    g100 = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (100, 2))
+
+    captured = {0: sim}
+    step = 0
+    while step < 2000:
+        sim, _ = multi(sim, g100)
+        step += 100
+        captured[step] = sim
+    return captured
+
+
+def unsorted(sim):
+    inv = np.argsort(np.asarray(sim.ids))
+    return {f: np.asarray(getattr(sim.fluid, f))[inv] for f in sim.fluid._fields}
+
+
+def test_scene_is_bitwise_identical_at_3k(golden):
+    fluid, braw = build_drop_scene(CFG)
+    assert fluid.n == int(golden["n_fluid"]) == 3021
+    gs = golden["states"][0]
+    np.testing.assert_array_equal(np.asarray(fluid.x), gs[:, 0])
+    np.testing.assert_array_equal(np.asarray(fluid.y), gs[:, 1])
+    np.testing.assert_array_equal(np.asarray(fluid.m), gs[:, 4])
+
+
+def test_primed_density_and_pressure_at_3k(golden, trajectory):
+    gs = golden["states"][0]
+    ours = unsorted(trajectory[0])
+    np.testing.assert_allclose(ours["rho"], gs[:, 5], rtol=3e-6)
+    np.testing.assert_allclose(ours["p"], gs[:, 6], rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.parametrize("step,pos_tol,vel_tol", [
+    (500, 3e-6, 5e-4),
+    (1000, 1e-5, 5e-4),
+    (2000, 5e-5, 2e-3),
+])
+def test_trajectory_parity_at_3k(golden, trajectory, step, pos_tol, vel_tol):
+    dump = int(step) // 100
+    assert int(golden["steps"][dump]) == step
+    gs = golden["states"][dump]
+    ours = unsorted(trajectory[step])
+    np.testing.assert_allclose(ours["x"], gs[:, 0], atol=pos_tol)
+    np.testing.assert_allclose(ours["y"], gs[:, 1], atol=pos_tol)
+    np.testing.assert_allclose(ours["u"], gs[:, 2], atol=vel_tol)
+    np.testing.assert_allclose(ours["v"], gs[:, 3], atol=vel_tol)
+
+
+def test_density_parity_at_3k_2000(golden, trajectory):
+    gs = golden["states"][20]
+    ours = unsorted(trajectory[2000])
+    np.testing.assert_allclose(ours["rho"], gs[:, 5], rtol=3e-4)

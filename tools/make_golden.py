@@ -87,9 +87,16 @@ PATCHES = [
 ]
 
 
-def build_harness(build_dir: str) -> str:
+def build_harness(build_dir: str, r: float | None = None) -> str:
     src = open(REFERENCE).read()
-    for old, new in PATCHES:
+    patches = list(PATCHES)
+    if r is not None:
+        # rescale the scene: everything else (H, DT, V, cell size) derives
+        # from R in the reference (pi_sph_fluid.c:11-20), so one constant
+        # swap produces the finer-resolution golden (e.g. the ~3k-particle
+        # drop of BASELINE.md's parity target at R=0.0226)
+        patches.append(("#define R 0.0750f", f"#define R {r:.6f}f"))
+    for old, new in patches:
         if old not in src:
             sys.exit(f"patch anchor not found in reference: {old[:60]!r}")
         src = src.replace(old, new, 1)
@@ -131,19 +138,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--dump-every", type=int, default=10)
+    ap.add_argument("--r", type=float, default=None,
+                    help="override the reference's R=0.075 particle spacing "
+                         "(0.0226 -> the ~3k-particle BASELINE parity drop)")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..",
                                                   "tests", "fixtures", "golden_drop.npz"))
     args = ap.parse_args()
 
     build_dir = tempfile.mkdtemp(prefix="sph_golden_")
     try:
-        exe = build_harness(build_dir)
+        exe = build_harness(build_dir, r=args.r)
         out_bin = os.path.join(build_dir, "golden.bin")
         run_harness(exe, args.steps, args.dump_every, out_bin)
         n, steps, states, fbs = parse_dump(out_bin, args.steps, args.dump_every)
         np.savez_compressed(
             args.out, n_fluid=n, steps=steps, states=states, framebuffers=fbs,
             fields=np.asarray(["x", "y", "u", "v", "m", "rho", "p"]),
+            r=np.float64(args.r if args.r is not None else 0.075),
         )
         print(f"golden: n_fluid={n}, {len(steps)} dumps (every {args.dump_every} of "
               f"{args.steps} steps) -> {os.path.abspath(args.out)}")
