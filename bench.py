@@ -132,8 +132,40 @@ def bench_reference_cpu(target_n: int, steps: int) -> dict:
     }
 
 
+def _backend_or_die(timeout_s: float = 600.0) -> str:
+    """First backend touch, guarded.  Init through a dead axon tunnel hangs
+    forever (observed: jax.devices() blocked >240 s at ~0 CPU during a
+    tunnel outage), which would hang the driver's bench invocation — probe
+    on a daemon thread and emit an explicit failure JSON line instead."""
+    import os
+    import sys
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            box["backend"] = jax.default_backend()
+        except Exception as e:  # plugin raised instead of hanging
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "backend" in box:
+        return box["backend"]
+    msg = box.get("error",
+                  f"device init unresponsive after {timeout_s:.0f}s "
+                  f"(TPU tunnel down?)")
+    print(json.dumps({"metric": "particle_steps_per_s", "value": 0.0,
+                      "unit": "particle-steps/s", "vs_baseline": 0.0,
+                      "error": msg}))
+    sys.stdout.flush()
+    os._exit(3)
+
+
 def main():
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = _backend_or_die() != "cpu"
     if on_tpu:
         result = bench_window(target_n=100_000, steps=400)
     else:

@@ -102,3 +102,31 @@ def test_density_parity_at_3k_2000(golden, trajectory):
     gs = golden["states"][20]
     ours = unsorted(trajectory[2000])
     np.testing.assert_allclose(ours["rho"], gs[:, 5], rtol=3e-4)
+
+
+def test_framebuffer_parity_at_3k(golden):
+    """Render from the golden C positions at 3k (11x the shipped particle
+    count on the same 128x64 raster) and compare to the C framebuffer —
+    same policy as test_render.py: >=99.5% agreement, exact away from the
+    threshold."""
+    from pi_sph_fluid_tpu.models.scene import pixel_centers
+    from pi_sph_fluid_tpu.ops.grid import build_grid
+    from pi_sph_fluid_tpu.render.metaballs import metaball_field, unpack_framebuffer
+
+    px, py = pixel_centers(CFG)
+    px, py = jnp.asarray(px), jnp.asarray(py)
+    for dump in (10, 20):  # steps 1000, 2000
+        gs = golden["states"][dump]
+        gbuf = golden["framebuffers"][dump]
+        x = jnp.asarray(gs[:, 0])
+        y = jnp.asarray(gs[:, 1])
+        grid = build_grid(x, y, CFG)
+        xs, ys = x[grid.order], y[grid.order]
+        grid2 = build_grid(xs, ys, CFG)
+        field = np.asarray(metaball_field(px, py, xs, ys, grid2, CFG, cap=128))
+        ours = field >= 1.0
+        theirs = unpack_framebuffer(gbuf).ravel()
+        agree = (ours == theirs).mean()
+        assert agree > 0.995, f"dump {dump}: framebuffer agreement {agree:.4f}"
+        confident = np.abs(field - 1.0) > 1e-3
+        np.testing.assert_array_equal(ours[confident], theirs[confident])
