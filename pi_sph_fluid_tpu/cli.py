@@ -138,8 +138,10 @@ def cmd_run(args):
              if result.recoveries else "")
     by = result.reporter.total_overflow_by
     if by is not None and int(by.sum()) > 0:   # dd attribution, if any
+        from .models.simulation import OVERFLOW_CATEGORIES
+
         named = {n: int(c) for n, c in
-                 zip(("window", "halo", "mig", "slab"), by) if c > 0}
+                 zip(OVERFLOW_CATEGORIES, by) if c > 0}
         extra += f", unrecovered overflow by capacity: {named}"
     print(f"\n{result.steps} steps in {result.wall_s:.2f}s "
           f"({result.particle_steps_per_s / 1e6:.2f}M particle-steps/s)"

@@ -148,12 +148,17 @@ class SimRunner:
         self._wire(multi)
 
     def _dd_growth(self, cats: set) -> dict:
-        """Proposed capacity growth for the starved categories ('window',
-        'halo', 'mig', 'slab'), each on its own 1.5x ladder (window rounds
-        to the 128-lane quantum via _next_cap; halo/mig to 64, slab to
-        128).  Categories already at a ceiling are omitted — window at
-        ``max_cap``, slab at the whole-fluid bound; halo/mig are
-        ceiling-free (physically bounded by slab contents)."""
+        """Proposed capacity growth for the starved categories (the
+        OVERFLOW_CATEGORIES names), each on its own 1.5x ladder (window
+        rounds to the 128-lane quantum via _next_cap; halo/mig to 64,
+        slab to 128).  Every ladder has a ceiling — window at ``max_cap``,
+        slab at the whole-fluid bound, halo/mig at the slab cap (halo
+        strips and departures are subsets of a slab's occupants, so
+        growth past slab_cap is provably useless) — and categories
+        already at theirs are omitted, so repeated recovery terminates:
+        once grow comes back empty the run continues with counted losses
+        instead of replaying forever (the scream-only NaN fallback grows
+        everything and relies on exactly this exit)."""
         def up(x, q):
             return -(-(x * 3 // 2) // q) * q    # 1.5x on the q-quantum
 
@@ -163,10 +168,15 @@ class SimRunner:
             nc = self._next_cap(d.spec.cap)
             if nc > d.spec.cap:
                 grow["cap"] = nc
+        edge_bound = -(-d.slab_cap // 64) * 64   # slab_cap, 64-aligned
         if "halo" in cats:
-            grow["halo_cap"] = up(d.halo_cap, 64)
+            nh = min(up(d.halo_cap, 64), edge_bound)
+            if nh > d.halo_cap:
+                grow["halo_cap"] = nh
         if "mig" in cats:
-            grow["mig_cap"] = up(d.mig_cap, 64)
+            nm = min(up(d.mig_cap, 64), edge_bound)
+            if nm > d.mig_cap:
+                grow["mig_cap"] = nm
         if "slab" in cats:
             ns = min(up(d.slab_cap, 128), -(-(self.n_fluid + 64) // 128) * 128)
             if ns > d.slab_cap:
@@ -481,8 +491,10 @@ class SimRunner:
                     else:
                         # dd: grow exactly the starved capacities, named by
                         # the per-category attribution counters
+                        from ..models.simulation import OVERFLOW_CATEGORIES
+
                         by = reporter.total_overflow_by
-                        names = ("window", "halo", "mig", "slab")
+                        names = OVERFLOW_CATEGORIES
                         if by is None or int(by.sum()) == 0:
                             # scream-only overflow (non-finite rows, lost
                             # particles) with no counted capacity crossing:
@@ -508,14 +520,15 @@ class SimRunner:
                                   f"{gtxt}, reverting to t={ck_t:.2f}s "
                                   f"and replaying", file=report_stream,
                                   flush=True)
-                        # buffer shapes change with the grown caps, so the
-                        # checkpoint rides the lossless host export/import
-                        # (leapfrog carry included)
-                        ck_export = self.domain.export(ck_sim)
-                        self._build_dd(grow=grow)
-                        if ck_is_start and resume is None:
+                        if ck_is_start:
+                            self._build_dd(grow=grow)
                             ck_sim = _start_recovered()
                         else:
+                            # buffer shapes change with the grown caps, so
+                            # the mid-run checkpoint rides the lossless host
+                            # export/import (leapfrog carry included)
+                            ck_export = self.domain.export(ck_sim)
+                            self._build_dd(grow=grow)
                             ck_sim = self.domain.init(*ck_export)
                     sim, i, sim_t = ck_sim, ck_i, ck_t
                     reporter.restore(ck_rep)

@@ -42,6 +42,12 @@ class SimState(NamedTuple):
     av: jnp.ndarray
 
 
+# Index order of StepStats.overflow_by — the single source for every
+# consumer (domain_window stacks the counters in this order; host_loop's
+# targeted recovery and the CLI's summary name categories by it).
+OVERFLOW_CATEGORIES = ("window", "halo", "mig", "slab")
+
+
 class StepStats(NamedTuple):
     """On-device per-tick invariants (`pi_sph_fluid.c:656-675`), with the
     reference's max-rho comparison bug fixed (SURVEY.md §2 #16: intent is the
@@ -50,7 +56,7 @@ class StepStats(NamedTuple):
     max_rho_error_pct: jnp.ndarray
     max_speed: jnp.ndarray
     neighbor_overflow: jnp.ndarray  # candidates dropped by fixed capacity
-    # Per-capacity attribution [window, halo, migration, slab], dd backend
+    # Per-capacity attribution in OVERFLOW_CATEGORIES order, dd backend
     # only (None elsewhere): lets elastic recovery grow exactly the starved
     # buffer instead of every capacity at once.  The aggregate counter above
     # stays authoritative (it also carries the non-finite/lost screams).

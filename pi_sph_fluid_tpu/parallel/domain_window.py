@@ -334,8 +334,9 @@ class WindowDomain:
             probe = fluid.x + sp2 + fluid.rho
             bad = jnp.sum((valid & ~jnp.isfinite(probe)).astype(jnp.int32))
             overflow = overflow + jnp.minimum(bad, 1000) * jnp.int32(1_000_000)
-            # per-capacity attribution [window, halo, mig, slab]: recovery
-            # grows exactly the starved buffer (host_loop targeted rebuild)
+            # per-capacity attribution in simulation.OVERFLOW_CATEGORIES
+            # order [window, halo, mig, slab]: recovery grows exactly the
+            # starved buffer (host_loop targeted rebuild)
             ov_by = jnp.stack([
                 ov_w1.astype(jnp.int32), ov_h1.astype(jnp.int32),
                 ov_mig.astype(jnp.int32), ov_cap.astype(jnp.int32)])
