@@ -365,3 +365,44 @@ def test_next_cap_ladder():
                   max_cap=1024)
     assert [r._next_cap(c) for c in (128, 256, 384, 512, 896)] == \
         [256, 384, 640, 768, 1024]
+
+
+def test_render_shape_plumbs_to_renderer_and_sinks(tmp_path):
+    """--render-shape end-to-end at a non-default 32x64: the runner's
+    framebuffer is 32*64/8 = 256 bytes, the PNG sink emits 32s x 64s
+    images, and the terminal/file sinks unpack with the same geometry
+    (ADVICE r2: PngSink used to hardcode 64x128)."""
+    import struct
+    import zlib
+
+    from pi_sph_fluid_tpu.io.display import FileSink, PngSink
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_drop_scene
+    from pi_sph_fluid_tpu.render.metaballs import unpack_framebuffer
+
+    cfg = SPHConfig()
+    fluid, braw = build_drop_scene(cfg)
+    runner = SimRunner(cfg, fluid, braw, backend="pallas",
+                       engine_opts=dict(tq=32, qb=8, cap=256, seg_q=2,
+                                        interpret=True),
+                       render=True, render_shape=(32, 64))
+    p = tmp_path / "frames.bin"
+    sink = FileSink(str(p))
+    runner.run(ConstantGravity(cfg), sink, sim_seconds=6 * cfg.dt,
+               steps_per_dispatch=3)
+    sink.close()
+    raw = p.read_bytes()
+    assert len(raw) > 0 and len(raw) % 256 == 0   # 32*64/8-byte frames
+    last = np.frombuffer(raw[-256:], np.uint8)
+    img = unpack_framebuffer(last, 32, 64)
+    assert img.shape == (32, 64)
+    assert img.any() and not img.all()            # the blob is visible
+
+    png = PngSink(str(tmp_path / "f"), 32, 64, scale=2)
+    png.push(last)
+    png.close()
+    data = (tmp_path / "f_000000.png").read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])      # IHDR width/height
+    assert (h, w) == (32 * 2, 64 * 2)
+    zlib.decompress(data[data.index(b"IDAT") + 4:-12])  # well-formed stream
