@@ -27,6 +27,13 @@ from ..models.engine_v3 import WindowEngine
 from ..render.metaballs import make_renderer
 from ..utils.stats import StatsReporter
 
+
+def _ladder_up(x: int, q: int) -> int:
+    """One step of the capacity-escalation ladder: 1.5x rounded up to the
+    q-quantum (the single arithmetic behind every elastic-recovery growth —
+    window lanes use q=128, halo/mig exchange rows q=64, slabs q=128)."""
+    return -(-(x * 3 // 2) // q) * q
+
 __all__ = ["SimRunner"]
 
 
@@ -125,7 +132,7 @@ class SimRunner:
         lands near the smallest sufficient cap — cap directly sets kernel
         lane work (256/384/512 measured 16.0/15.6/13.6M ps/s at 100k) —
         at the price of at most one extra recompile per factor of 2."""
-        return min(-(-(old * 3 // 2) // 128) * 128, self.max_cap)
+        return min(_ladder_up(old, 128), self.max_cap)
 
     def _build_pallas(self, cap: int | None = None):
         """(Re)build the single-chip window-engine pipeline.  Called at
@@ -159,9 +166,6 @@ class SimRunner:
         once grow comes back empty the run continues with counted losses
         instead of replaying forever (the scream-only NaN fallback grows
         everything and relies on exactly this exit)."""
-        def up(x, q):
-            return -(-(x * 3 // 2) // q) * q    # 1.5x on the q-quantum
-
         d = self.domain
         grow = {}
         if "window" in cats:
@@ -170,15 +174,16 @@ class SimRunner:
                 grow["cap"] = nc
         edge_bound = -(-d.slab_cap // 64) * 64   # slab_cap, 64-aligned
         if "halo" in cats:
-            nh = min(up(d.halo_cap, 64), edge_bound)
+            nh = min(_ladder_up(d.halo_cap, 64), edge_bound)
             if nh > d.halo_cap:
                 grow["halo_cap"] = nh
         if "mig" in cats:
-            nm = min(up(d.mig_cap, 64), edge_bound)
+            nm = min(_ladder_up(d.mig_cap, 64), edge_bound)
             if nm > d.mig_cap:
                 grow["mig_cap"] = nm
         if "slab" in cats:
-            ns = min(up(d.slab_cap, 128), -(-(self.n_fluid + 64) // 128) * 128)
+            ns = min(_ladder_up(d.slab_cap, 128),
+                     -(-(self.n_fluid + 64) // 128) * 128)
             if ns > d.slab_cap:
                 grow["slab_cap"] = ns
         return grow
