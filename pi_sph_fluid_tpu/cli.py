@@ -31,9 +31,10 @@ def _make_scene(args):
     return cfg, fluid, braw
 
 
-def _make_gravity(args, cfg):
+def _make_gravity(args, cfg, sink=None):
     from .io.gravity import (
         ConstantGravity, MPU6050Gravity, RotatingGravity, TraceGravity,
+        WebGravity,
     )
 
     if args.gravity == "constant":
@@ -42,6 +43,14 @@ def _make_gravity(args, cfg):
         return RotatingGravity(cfg, period_s=args.rotate_period)
     if args.gravity == "mpu6050":
         return MPU6050Gravity(cfg)
+    if args.gravity == "web":
+        from .io.web import WebSink
+
+        inner = getattr(sink, "inner", None)   # sinks are AsyncSink-wrapped
+        if not isinstance(inner, WebSink):
+            raise SystemExit("--gravity web needs --display web "
+                             "(the page is the tilt sensor)")
+        return WebGravity(cfg, inner)
     if args.gravity.startswith("trace:"):
         import numpy as np
 
@@ -110,8 +119,8 @@ def cmd_run(args):
                        resort_every=args.resort_every,
                        auto_cap=not args.no_auto_cap,
                        max_cap=args.max_cap)
-    gravity = _make_gravity(args, cfg)
     sink = _make_sink(args, render_shape)
+    gravity = _make_gravity(args, cfg, sink)
     try:
         result = runner.run(
             gravity, sink, sim_seconds=args.seconds, realtime=args.realtime,
@@ -203,8 +212,10 @@ def main(argv=None):
                          "| web[:port] (live browser view, the SDL-window "
                          "analog) | ssd1306[:bus]")
     rp.add_argument("--gravity", default="constant",
-                    help="constant | rotate | mpu6050 | trace:<file.np[z]> "
-                         "(a recorded (T,2) accelerometer session)")
+                    help="constant | rotate | mpu6050 | web (browser tilt "
+                         "via the web display's page — drag to slosh) | "
+                         "trace:<file.np[z]> (a recorded (T,2) accelerometer "
+                         "session)")
     rp.add_argument("--trace-hz", type=float, default=10.0,
                     help="sample rate of a replayed gravity trace")
     rp.add_argument("--rotate-period", type=float, default=4.0)

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..config import SPHConfig
 
-__all__ = ["ConstantGravity", "TraceGravity", "RotatingGravity", "MPU6050Gravity"]
+__all__ = ["ConstantGravity", "TraceGravity", "RotatingGravity",
+           "MPU6050Gravity", "WebGravity"]
 
 
 class ConstantGravity:
@@ -85,6 +86,34 @@ class RotatingGravity:
         a = 2 * math.pi * t / self.period
         self._t += k * dt
         return np.stack([self.g_mag * np.sin(a), -self.g_mag * np.cos(a)], axis=1).astype(np.float32)
+
+
+class WebGravity:
+    """Browser tilt via the web display's ``POST /gravity`` — the MPU6050
+    analog for the live-browser demo (the reference's tilt-to-slosh
+    interactivity, `pi_sph_fluid.c:431-464`, with the page's pointer/device
+    orientation standing in for the accelerometer).
+
+    The sink stores the latest unit-disc tilt vector; ``current`` scales it
+    by G — the same shape as the reference's raw/2^14 * G projection
+    (`pi_sph_fluid.c:439-440`), with the unit-disc clamp standing in for a
+    resting accelerometer's |a| <= 1 g.  Like ``MPU6050Gravity``, a batch
+    trace holds the latest sample: every step between posts sees the same
+    vector.  Before the first post: the hardware-free (0, -G).
+    """
+
+    def __init__(self, cfg: SPHConfig, sink):
+        self.g_mag = float(cfg.g)
+        self.sink = sink   # io.web.WebSink (anything with .tilt())
+
+    def current(self) -> np.ndarray:
+        tilt = self.sink.tilt()
+        if tilt is None:
+            return np.asarray([0.0, -self.g_mag], np.float32)
+        return (tilt * self.g_mag).astype(np.float32)
+
+    def trace(self, k: int, dt: float) -> np.ndarray:
+        return np.broadcast_to(self.current(), (k, 2)).copy()
 
 
 class MPU6050Gravity:

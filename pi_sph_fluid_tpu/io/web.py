@@ -10,6 +10,17 @@ framebuffer and serves
              ``i//8*cols + j``, bit ``i%8`` — unpacked client-side)
     /meta    {"rows": R, "cols": C, "frames": N}
 
+and accepts
+
+    POST /gravity   {"tx": f, "ty": f} — a tilt vector in sim coordinates
+                    (y up), unit-disc clamped server-side
+
+which makes the browser the accelerometer: the page converts pointer
+drags (and, on phones, ``deviceorientation``) into tilt posts, and
+``io.gravity.WebGravity`` reads the latest tilt exactly like
+``MPU6050Gravity`` reads its 10 Hz sysfs sample (`pi_sph_fluid.c:431-464`)
+— the reference's tilt-to-slosh interactivity without the hardware.
+
 Wrap in io.display.AsyncSink like every other sink so the sim loop never
 blocks on a slow client (the reference's tearing-tolerant contract).
 """
@@ -27,13 +38,16 @@ __all__ = ["WebSink"]
 _PAGE = """<!doctype html>
 <html><head><title>pi_sph_fluid_tpu</title><style>
  body { background:#111; color:#9ae; font-family:monospace; text-align:center }
- canvas { image-rendering: pixelated; border:1px solid #345; margin-top:2em }
+ canvas { image-rendering: pixelated; border:1px solid #345; margin-top:2em;
+          touch-action:none; cursor:crosshair }
 </style></head><body>
 <h3>pi_sph_fluid_tpu &mdash; live</h3>
 <canvas id=c></canvas><div id=s></div>
+<div id=hint>drag on the canvas to tilt gravity &middot; double-click to reset</div>
 <script>
 const cv = document.getElementById('c'), st = document.getElementById('s');
 let rows = 64, cols = 128, scale = 6, frames = 0;
+let tilt = [0, -1], dirty = false, dragging = false;
 async function meta() {
   const m = await (await fetch('/meta')).json();
   rows = m.rows; cols = m.cols;
@@ -41,6 +55,31 @@ async function meta() {
   cv.style.width = (cols * scale) + 'px';
   cv.style.height = (rows * scale) + 'px';
 }
+function setTilt(tx, ty) {           // sim coords, y up; clamp to unit disc
+  const n = Math.hypot(tx, ty);
+  if (n > 1) { tx /= n; ty /= n; }
+  tilt = [tx, ty]; dirty = true;
+}
+function pointerTilt(e) {            // gravity points from center toward pointer
+  const r = cv.getBoundingClientRect();
+  const tx = (e.clientX - r.left - r.width / 2) / (r.width / 2);
+  const ty = -(e.clientY - r.top - r.height / 2) / (r.height / 2);
+  setTilt(tx, ty);
+}
+cv.addEventListener('pointerdown', e => { dragging = true; cv.setPointerCapture(e.pointerId); pointerTilt(e); });
+cv.addEventListener('pointermove', e => { if (dragging) pointerTilt(e); });
+cv.addEventListener('pointerup', () => { dragging = false; });
+cv.addEventListener('dblclick', () => setTilt(0, -1));
+window.addEventListener('deviceorientation', e => {   // phone: real tilt
+  if (e.gamma === null || dragging) return;
+  setTilt(Math.sin(e.gamma * Math.PI / 180), -Math.cos(e.beta * Math.PI / 180));
+});
+setInterval(() => {                  // ~20 Hz, only on change (MPU polls at 10 Hz)
+  if (!dirty) return;
+  dirty = false;
+  fetch('/gravity', {method: 'POST', body: JSON.stringify({tx: tilt[0], ty: tilt[1]})})
+    .catch(() => {});
+}, 50);
 async function tick() {
   try {
     const buf = new Uint8Array(await (await fetch('/frame')).arrayBuffer());
@@ -53,6 +92,10 @@ async function tick() {
       img.data[o+2] = lit ? 255 : 22; img.data[o+3] = 255;
     }
     ctx.putImageData(img, 0, 0);
+    const gx = cols / 2, gy = rows / 2, gl = Math.min(gx, gy) * 0.8;
+    ctx.strokeStyle = '#e84'; ctx.lineWidth = 1; ctx.beginPath();
+    ctx.moveTo(gx, gy); ctx.lineTo(gx + tilt[0] * gl, gy - tilt[1] * gl);
+    ctx.stroke();                    // gravity arrow (canvas y down)
     st.textContent = 'frame ' + (++frames);
   } catch (e) { st.textContent = 'disconnected'; }
   setTimeout(tick, 33);
@@ -68,12 +111,34 @@ class WebSink:
         self.rows, self.cols = rows, cols
         self._frame = bytes(rows // 8 * cols)
         self._count = 0
+        self._tilt: np.ndarray | None = None   # latest POSTed tilt (unit disc)
         self._lock = threading.Lock()
         sink = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):   # quiet
                 pass
+
+            def do_POST(self):
+                if self.path != "/gravity":
+                    self.send_error(404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    tilt = np.asarray([req["tx"], req["ty"]], np.float32)
+                    if not np.all(np.isfinite(tilt)):
+                        raise ValueError("non-finite tilt")
+                except (ValueError, KeyError, TypeError) as e:
+                    self.send_error(400, explain=str(e))
+                    return
+                norm = float(np.hypot(*tilt))   # belt to the client-side clamp
+                if norm > 1.0:
+                    tilt /= norm
+                with sink._lock:
+                    sink._tilt = tilt
+                self.send_response(204)
+                self.end_headers()
 
             def do_GET(self):
                 if self.path == "/frame":
@@ -107,6 +172,12 @@ class WebSink:
         with self._lock:
             self._frame = np.asarray(framebuffer, np.uint8).tobytes()
             self._count += 1
+
+    def tilt(self) -> np.ndarray | None:
+        """Latest browser-posted tilt (unit-disc vector, sim coords, y up),
+        or None before the first post.  Consumed by io.gravity.WebGravity."""
+        with self._lock:
+            return None if self._tilt is None else self._tilt.copy()
 
     def close(self) -> None:
         self._httpd.shutdown()

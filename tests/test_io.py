@@ -110,6 +110,80 @@ def test_web_sink_serves_frames():
         sink.close()
 
 
+def test_web_gravity_tilt_roundtrip():
+    """POST /gravity drives WebGravity exactly like an MPU sample
+    (`pi_sph_fluid.c:431-464`): latest tilt x G, unit-disc clamped,
+    (0, -G) before the first post, malformed posts rejected without
+    clobbering the value."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from pi_sph_fluid_tpu.io.gravity import WebGravity
+    from pi_sph_fluid_tpu.io.web import WebSink
+
+    sink = WebSink(port=0)
+    try:
+        src = WebGravity(CFG, sink)
+        g = CFG.g
+        np.testing.assert_allclose(src.current(), [0.0, -g])  # pre-post default
+
+        def post(body):
+            return urlopen(Request(f"http://127.0.0.1:{sink.port}/gravity",
+                                   data=body, method="POST"), timeout=5)
+
+        assert post(_json.dumps({"tx": 0.5, "ty": -0.5}).encode()).status == 204
+        np.testing.assert_allclose(src.current(), [0.5 * g, -0.5 * g], rtol=1e-6)
+        tr = src.trace(4, CFG.dt)            # MPU semantics: batch = latest sample
+        assert tr.shape == (4, 2)
+        np.testing.assert_array_equal(tr, np.broadcast_to(tr[0], (4, 2)))
+        # over-unit tilt is normalized server-side (belt to the page's clamp)
+        post(_json.dumps({"tx": 3.0, "ty": 4.0}).encode())
+        np.testing.assert_allclose(np.hypot(*src.current()), g, rtol=1e-6)
+        for bad in (b"not json", _json.dumps({"tx": 1.0}).encode(),
+                    _json.dumps({"tx": float("nan"), "ty": 0.0}).encode()):
+            with pytest.raises(HTTPError) as exc:
+                post(bad)
+            assert exc.value.code == 400
+        np.testing.assert_allclose(np.hypot(*src.current()), g, rtol=1e-6)
+    finally:
+        sink.close()
+
+
+def test_web_gravity_drives_the_sim():
+    """End-to-end interactivity: a browser tilt post steers the fluid (the
+    reference's tilt-to-slosh demo without the hardware).  Sideways gravity
+    posted through the HTTP path must accelerate the drop scene in +x."""
+    import json as _json
+    from urllib.request import Request, urlopen
+
+    from pi_sph_fluid_tpu.io.gravity import WebGravity
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.io.web import WebSink
+
+    fluid, braw = build_drop_scene(CFG)
+    sink = WebSink(port=0)
+    try:
+        urlopen(Request(f"http://127.0.0.1:{sink.port}/gravity",
+                        data=_json.dumps({"tx": 1.0, "ty": 0.0}).encode(),
+                        method="POST"), timeout=5)
+        runner = SimRunner(CFG, fluid, braw, backend="reference", render=False)
+        res = runner.run(WebGravity(CFG, sink), None,
+                         sim_seconds=6 * CFG.dt, steps_per_dispatch=3)
+        assert float(np.mean(np.asarray(res.sim.fluid.u))) > 0.0
+    finally:
+        sink.close()
+
+
+def test_cli_web_gravity_needs_web_display():
+    from pi_sph_fluid_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="--display web"):
+        main(["run", "--scene", "drop", "--seconds", "0.01",
+              "--backend", "reference", "--display", "none",
+              "--gravity", "web"])
+
+
 def test_generic_sph_operators_volume_factor():
     """sph_interpolate with volume leading factor: interpolating the constant
     1 over a full neighborhood gives ~1 (partition of unity, approximately)."""
