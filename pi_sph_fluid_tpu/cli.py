@@ -72,7 +72,8 @@ def _parse_render_shape(s: str) -> tuple[int, int]:
 
 
 def _make_sink(args, shape: tuple[int, int]):
-    from .io.display import AsyncSink, FileSink, NullSink, PngSink, TerminalSink
+    from .io.display import (AsyncSink, FileSink, GifSink, NullSink, PngSink,
+                             TerminalSink)
 
     rows, cols = shape
     if args.display == "none":
@@ -83,6 +84,9 @@ def _make_sink(args, shape: tuple[int, int]):
         return AsyncSink(FileSink(args.display[5:]))
     if args.display.startswith("png:"):
         return AsyncSink(PngSink(args.display[4:], rows, cols))
+    if args.display.startswith("gif:"):
+        # no AsyncSink: push is an O(1 KB) append, the encode runs at close
+        return GifSink(args.display[4:], rows, cols)
     if args.display.startswith("web"):
         from .io.web import WebSink
 
@@ -209,6 +213,7 @@ def main(argv=None):
                          "(default: all visible devices)")
     rp.add_argument("--display", default="terminal",
                     help="terminal | none | file:<path> | png:<prefix> "
+                         "| gif:<path> (record the run as one looping GIF) "
                          "| web[:port] (live browser view, the SDL-window "
                          "analog) | ssd1306[:bus]")
     rp.add_argument("--gravity", default="constant",

@@ -87,7 +87,10 @@ async function tick() {
     const img = ctx.createImageData(cols, rows);
     for (let i = 0; i < rows; i++) for (let j = 0; j < cols; j++) {
       const lit = (buf[(i >> 3) * cols + j] >> (i & 7)) & 1;
-      const o = ((rows - 1 - i) * cols + j) * 4;   // y-up like the sim
+      // framebuffer row 0 is the TOP of the screen (pixel_centers flips y
+      // already, `pi_sph_fluid.c:570-577`) — draw rows in order, same as
+      // the SSD1306/terminal/PNG sinks
+      const o = (i * cols + j) * 4;
       img.data[o] = lit ? 160 : 12; img.data[o+1] = lit ? 210 : 14;
       img.data[o+2] = lit ? 255 : 22; img.data[o+3] = 255;
     }

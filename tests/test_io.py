@@ -87,6 +87,144 @@ def test_async_sink_drops_rather_than_blocks():
     assert 0 < inner.got < 50  # some frames dropped by design
 
 
+def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """Independent GIF-LZW decoder (test-side oracle for GifSink)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    width = mcs + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = dict(base)
+                width = mcs + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            else:  # the KwKwK case
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+                next_code += 1
+            out.extend(entry)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    raise AssertionError("no EOI code in LZW stream")
+
+
+def _parse_gif(blob: bytes):
+    """Minimal GIF89a parser: returns (w, h, delays, frames) with frames
+    decoded to flat pixel-index lists."""
+    assert blob[:6] == b"GIF89a"
+    w, h = int.from_bytes(blob[6:8], "little"), int.from_bytes(blob[8:10], "little")
+    packed = blob[10]
+    assert packed & 0x80  # global color table present
+    gct_len = 2 ** ((packed & 7) + 1)
+    pos = 13 + 3 * gct_len
+    delays, frames = [], []
+    delay = 0
+    while True:
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                delay = int.from_bytes(blob[pos + 2:pos + 4], "little")
+            while blob[pos]:  # skip sub-blocks
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iw = int.from_bytes(blob[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(blob[pos + 7:pos + 9], "little")
+            assert (iw, ih) == (w, h) and blob[pos + 9] == 0
+            pos += 10
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos]:
+                n = blob[pos]
+                data += blob[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            px = _gif_lzw_decode(bytes(data), mcs)
+            assert len(px) == w * h
+            delays.append(delay)
+            frames.append(px)
+        else:
+            raise AssertionError(f"unexpected GIF block 0x{b:02x}")
+    return w, h, delays, frames
+
+
+def test_gif_sink_roundtrip(tmp_path):
+    """GifSink's stream must decode (via an independent LZW decoder) to
+    exactly the pushed frames, top row first like every other sink."""
+    from pi_sph_fluid_tpu.io.display import GifSink
+    from pi_sph_fluid_tpu.render.metaballs import unpack_framebuffer
+
+    rng = np.random.default_rng(7)
+    path = tmp_path / "demo.gif"
+    sink = GifSink(str(path), rows=64, cols=128, scale=2, fps=25)
+    pushed = []
+    for k in range(3):
+        fb = rng.integers(0, 256, size=8 * 128, dtype=np.uint8)
+        if k == 0:  # top-left pixel lit: orientation canary
+            fb = fb.copy()
+            fb[0] |= 1
+        pushed.append(fb)
+        sink.push(fb)
+    sink.close()
+
+    w, h, delays, frames = _parse_gif(path.read_bytes())
+    assert (w, h) == (256, 128)
+    assert delays == [4, 4, 4]  # 100/25
+    assert len(frames) == 3
+    for fb, px in zip(pushed, frames):
+        lit = unpack_framebuffer(fb, 64, 128)
+        want = np.repeat(np.repeat(lit.astype(np.uint8), 2, 0), 2, 1)
+        np.testing.assert_array_equal(np.asarray(px).reshape(h, w), want)
+    # the canary: framebuffer row 0 must be the TOP row of the image
+    assert frames[0][0] == 1
+
+
+def test_gif_sink_decimates_long_runs(tmp_path):
+    """Runs longer than max_frames thin 2x and double the delay, so any
+    run length yields a bounded, uniformly-sampled loop."""
+    from pi_sph_fluid_tpu.io.display import GifSink
+
+    path = tmp_path / "long.gif"
+    sink = GifSink(str(path), rows=8, cols=8, scale=1, fps=50, max_frames=4)
+    for k in range(11):
+        sink.push(np.full(8, k, np.uint8))
+    # 0..3 recorded -> thinned to [0, 2] (stride 2); 4, 6 recorded -> the
+    # full [0, 2, 4, 6] thins to [0, 4] (stride 4); 8 recorded, 9-10 skipped
+    assert [f[0] for f in sink.frames] == [0, 4, 8]
+    sink.close()
+    _, _, delays, frames = _parse_gif(path.read_bytes())
+    assert len(frames) == 3
+    assert delays == [8, 8, 8]  # 100/50 x stride 4
+
+
 def test_web_sink_serves_frames():
     """The browser sink (SDL-window analog) must serve the page, the frame
     bytes, and the metadata on localhost."""
