@@ -225,6 +225,52 @@ def test_gif_sink_decimates_long_runs(tmp_path):
     assert delays == [8, 8, 8]  # 100/50 x stride 4
 
 
+def test_gif_lzw_property_roundtrip():
+    """Encoder vs the independent decoder across adversarial patterns:
+    all-zero (end-of-stream width edge), all-one, alternating, random, and
+    lengths straddling code-width growth / the 4096 dictionary reset."""
+    from pi_sph_fluid_tpu.io.display import GifSink
+
+    rng = np.random.default_rng(11)
+    cases = [
+        bytes(64), b"\x01" * 64, bytes([0, 1] * 200),
+        bytes(4097), b"\x01" * 70000,
+        rng.integers(0, 2, size=70000).astype(np.uint8).tobytes(),
+        rng.integers(0, 2, size=131).astype(np.uint8).tobytes(),
+        bytes([1]), bytes([0, 0]),
+    ]
+    for data in cases:
+        enc = GifSink._lzw(data, 2)
+        dec = _gif_lzw_decode(enc, 2)
+        assert bytes(dec) == data, f"LZW mismatch on case len={len(data)}"
+
+
+def test_frames_to_gif_tool(tmp_path):
+    """The offline FileSink-capture -> GIF converter reproduces the frames
+    (record headless on device, build the artifact later)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import frames_to_gif
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(4, 8 * 128), dtype=np.uint8)
+    cap = tmp_path / "frames.bin"
+    cap.write_bytes(frames.tobytes())
+    out = tmp_path / "out.gif"
+    frames_to_gif.main([str(cap), str(out), "--scale", "1"])
+    w, h, _, decoded = _parse_gif(out.read_bytes())
+    assert (w, h) == (128, 64) and len(decoded) == 4
+    from pi_sph_fluid_tpu.render.metaballs import unpack_framebuffer
+    for fb, px in zip(frames, decoded):
+        np.testing.assert_array_equal(
+            np.asarray(px).reshape(h, w),
+            unpack_framebuffer(fb, 64, 128).astype(np.uint8))
+
+
 def test_web_sink_serves_frames():
     """The browser sink (SDL-window analog) must serve the page, the frame
     bytes, and the metadata on localhost."""
