@@ -245,6 +245,40 @@ def test_gif_lzw_property_roundtrip():
         assert bytes(dec) == data, f"LZW mismatch on case len={len(data)}"
 
 
+def test_gif_sink_decodes_with_pillow(tmp_path):
+    """Cross-check against a real-world third-party decoder (Pillow shares
+    the code-width conventions of browser decoders): frames, geometry,
+    per-frame delay, infinite loop, and exact pixels — including an
+    all-dark frame (the end-of-stream code-width edge case)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from PIL import ImageSequence
+
+    from pi_sph_fluid_tpu.io.display import GifSink
+    from pi_sph_fluid_tpu.render.metaballs import unpack_framebuffer
+
+    rng = np.random.default_rng(5)
+    path = tmp_path / "pil.gif"
+    sink = GifSink(str(path), rows=64, cols=128, scale=2, fps=20)
+    pushed = [np.zeros(8 * 128, np.uint8),                      # all dark
+              np.full(8 * 128, 0xFF, np.uint8),                 # all lit
+              rng.integers(0, 256, size=8 * 128, dtype=np.uint8)]
+    for fb in pushed:
+        sink.push(fb)
+    sink.close()
+
+    im = PIL_Image.open(path)
+    assert im.info.get("loop") == 0          # NETSCAPE loop-forever
+    assert im.info.get("duration") == 50     # 100/20 x 10 ms
+    frames = [np.array(f.convert("RGB")) for f in ImageSequence.Iterator(im)]
+    assert len(frames) == 3 and frames[0].shape == (128, 256, 3)
+    for fb, rgb in zip(pushed, frames):
+        lit = np.all(rgb == (160, 210, 255), axis=-1)
+        dark = np.all(rgb == (12, 14, 22), axis=-1)
+        assert np.all(lit | dark)
+        want = np.repeat(np.repeat(unpack_framebuffer(fb, 64, 128), 2, 0), 2, 1)
+        np.testing.assert_array_equal(lit, want)
+
+
 def test_frames_to_gif_tool(tmp_path):
     """The offline FileSink-capture -> GIF converter reproduces the frames
     (record headless on device, build the artifact later)."""
