@@ -85,13 +85,15 @@ class WindowEngine:
         qb: int = 16,
         cap: int = 256,
         seg_q: int = 2,
+        planes: int = 2,
         interpret: bool = False,
     ):
         self.cfg = cfg
         self.n_real = int(n_real)
         assert n_real < (1 << 24), "float-valued ids are exact only below 2^24"
         nb = int(boundary.x.shape[0])
-        self.spec = triple_spec(cfg, self.n_real, nb, tq, qb, cap, seg_q)
+        self.spec = triple_spec(cfg, self.n_real, nb, tq, qb, cap, seg_q,
+                                planes)
         self.interpret = interpret
         self.boundary = boundary
         self.b_cell_starts = boundary_grid.cell_starts
@@ -171,6 +173,13 @@ class WindowEngine:
         return jnp.concatenate(
             [a, jnp.pad(a[:, 64:], ((0, 0), (0, 64)))], axis=1)
 
+    def _expand(self, a):
+        """Plane expansion for the fetch encoding (triple.block_windows):
+        dual 64-shifted planes by default; the exact-start single plane
+        (spec.planes == 1) ships the gathered array as-is — no second copy
+        to build, half the candidate HBM."""
+        return a if self.spec.planes == 1 else self._dual(a)
+
     def _pair_core(self, packed, ctx: TripleCtx, g):
         """density -> EOS -> forces over one candidate frame; returns
         (dens (n_layout, 4), acc (n_layout, 2)).
@@ -190,7 +199,7 @@ class WindowEngine:
         geo_d_src = jnp.concatenate([
             jnp.concatenate([packed[:, 0:2], packed[:, 4:5], zcol], axis=1),
             self.b_geo_d, self.inert_row_d], axis=0)
-        geo_d = self._dual(geo_d_src[ctx.trip_src].T)       # (4, 2L)
+        geo_d = self._expand(geo_d_src[ctx.trip_src].T)     # (4, planes*L)
         rho = density_window_call(packed, geo_d, ctx.w_start, ctx.flen,
                                   cfg, spec, interpret=self.interpret)
         dens = self._eos(rho)
@@ -198,7 +207,7 @@ class WindowEngine:
         geo_f_src = jnp.concatenate([
             jnp.concatenate([packed[:, 0:5], dens[:, 2:4], half_col], axis=1),
             self.b_geo, self.inert_row], axis=0)
-        geo_f = self._dual(geo_f_src[ctx.trip_src].T)       # (8, 2L)
+        geo_f = self._expand(geo_f_src[ctx.trip_src].T)     # (8, planes*L)
         acc = forces_window_call(packed, dens, geo_f, ctx.w_start, ctx.flen,
                                  g, cfg, spec, interpret=self.interpret)
         return dens, acc

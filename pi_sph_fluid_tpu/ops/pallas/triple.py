@@ -87,6 +87,10 @@ class TripleSpec(NamedTuple):
     L: int           # static candidate-array length
     n_src: int       # gather-source rows: n_layout + nb + 1 (inert)
     n_runs: int      # static run-table length
+    planes: int = 2  # fetch encoding: 2 = dual 64-shifted planes (128-aligned
+                     # DMA starts, waste < 64 lanes); 1 = exact-start single
+                     # plane (zero waste, flen == w_len; requires the DMA
+                     # engine to accept arbitrary lane offsets)
 
     @property
     def nqb(self) -> int:
@@ -122,8 +126,10 @@ class TripleCtx(NamedTuple):
 
 
 def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
-                qb: int = 16, cap: int = 256, seg_q: int = 3) -> TripleSpec:
+                qb: int = 16, cap: int = 256, seg_q: int = 3,
+                planes: int = 2) -> TripleSpec:
     assert tq % qb == 0 and cap % LANE == 0
+    assert planes in (1, 2)
     n_rows = cfg.n_cell_rows
     n_seg = -(-n_rows // seg_q)
     n_layout = _round_up(n_real + qb * n_rows, tq)
@@ -139,7 +145,8 @@ def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
     L = _round_up(copies * (n_real + nb) + n_seg * (cap + 3 * LANE) + 2 * LANE, LANE)
     n_runs = n_seg * (cfg.n_cell_cols * cover * 2 + 1)
     return TripleSpec(tq=tq, qb=qb, cap=cap, seg_q=seg_q, n_layout=n_layout,
-                      L=L, n_src=n_layout + nb + 1, n_runs=n_runs)
+                      L=L, n_src=n_layout + nb + 1, n_runs=n_runs,
+                      planes=planes)
 
 
 def build_frame(
@@ -283,15 +290,22 @@ def block_windows(spec: TripleSpec, cfg: SPHConfig, cells: jnp.ndarray,
     T_hi = T[jnp.where(has_q, c_last, n_cells)]
     w_start = jnp.where(has_q, T_lo[:, 0], 0).astype(jnp.int32)
     w_len = jnp.where(has_q, T_hi[:, 1] - T_lo[:, 0], 0).astype(jnp.int32)
-    # dual-plane fetch encoding: candidate arrays are (k, 2L) with the
-    # second half shifted left by 64 lanes, so a window whose 128-alignment
-    # waste would be >= 64 fetches from the shifted plane instead — the
-    # effective alignment waste is always < 64 lanes
-    extra = w_start % LANE
-    use_hi = extra >= 64
-    fetch = jnp.where(use_hi, spec.L + w_start - extra, w_start - extra)
-    extra_eff = extra - jnp.where(use_hi, 64, 0)
-    flen = extra_eff + w_len
+    if spec.planes == 1:
+        # exact-start fetch: the DMA begins at the window's true start
+        # (arbitrary lane offset), zero alignment waste — candidate arrays
+        # are a single (k, L) plane and flen is the window length itself
+        fetch = w_start
+        flen = w_len
+    else:
+        # dual-plane fetch encoding: candidate arrays are (k, 2L) with the
+        # second half shifted left by 64 lanes, so a window whose
+        # 128-alignment waste would be >= 64 fetches from the shifted plane
+        # instead — the effective alignment waste is always < 64 lanes
+        extra = w_start % LANE
+        use_hi = extra >= 64
+        fetch = jnp.where(use_hi, spec.L + w_start - extra, w_start - extra)
+        extra_eff = extra - jnp.where(use_hi, 64, 0)
+        flen = extra_eff + w_len
     # saturating sum: under a catastrophic state (NaN positions -> garbage
     # cells -> huge window diffs) a plain int32 sum wraps NEGATIVE and the
     # stat becomes unreadable; accumulate in f32 and clamp so the counter

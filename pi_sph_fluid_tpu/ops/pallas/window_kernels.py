@@ -91,9 +91,15 @@ def _start_windows(spec, pairs, get_start, slot):
     """Issue one DMA per (block, candidate array).  pairs: list of
     (hbm_ref, stage_ref, sem_ref); each copy moves ALL rows of its array —
     Mosaic requires HBM row slices to be 8-aligned, so sub-row DMAs are
-    not expressible (keep candidate arrays exactly as tall as needed)."""
+    not expressible (keep candidate arrays exactly as tall as needed).
+
+    Dual-plane specs guarantee 128-aligned starts (block_windows) — assert
+    that to the compiler; exact-start specs (planes == 1) fetch at the
+    window's true lane offset."""
     for b in range(spec.nqb):
-        a = pl.multiple_of(get_start(b), LANE)   # pre-aligned by block_windows
+        a = get_start(b)
+        if spec.planes != 1:
+            a = pl.multiple_of(a, LANE)
 
         def _go(a=a, b=b):
             for hbm, stage, sem in pairs:
@@ -107,7 +113,9 @@ def _start_windows(spec, pairs, get_start, slot):
 
 def _wait_windows(spec, pairs, get_start, slot):
     for b in range(spec.nqb):
-        a = pl.multiple_of(get_start(b), LANE)
+        a = get_start(b)
+        if spec.planes != 1:
+            a = pl.multiple_of(a, LANE)
 
         def _wait(a=a, b=b):
             for hbm, stage, sem in pairs:

@@ -30,15 +30,25 @@ from pi_sph_fluid_tpu.ops.pallas.triple import LANE
 
 
 def flen_stats(eng, packed, shift):
-    """Re-derive block fetch lengths from the engine's own relayout, for a
-    given plane-shift granularity (64 = shipped dual plane, 32 = quad)."""
+    """Block fetch lengths from the engine's own relayout, for a given
+    plane-shift granularity (64 = shipped dual plane, 32 = a hypothetical
+    quad plane, 0 = exact-start fetch, i.e. flen == w_len).
+
+    NOTE (bug history): ctx.w_start is the *aligned fetch* block_windows
+    returns (always 0 mod 128, plane-encoded), so alignment waste cannot be
+    re-derived from it — the first version of this probe did exactly that
+    and under-measured flen by the waste.  ctx.flen is the ground truth for
+    the shipped shift-64 encoding; other shifts are derived from
+    waste = flen - w_len (in [0, 64)), re-reduced modulo the finer shift."""
     pk, ctx, overflow = jax.jit(eng._relayout)(packed)
-    w_start = np.asarray(ctx.w_start).reshape(-1)
     w_len = np.asarray(ctx.w_len).reshape(-1)
+    flen64 = np.asarray(ctx.flen).reshape(-1)
     live = w_len > 0
-    extra = w_start % LANE
-    extra_eff = extra % shift
-    flen = (extra_eff + w_len)[live]
+    waste = flen64 - w_len
+    if shift == 0:
+        flen = w_len[live]
+    else:
+        flen = (w_len + waste % shift)[live]
     return flen, int(overflow)
 
 
@@ -87,10 +97,10 @@ def main():
                            tq=256, qb=qb, cap=256, seg_q=seg_q,
                            interpret=True)
         packed = eng._initial_packed(fluid)
-        for shift in (64, 32):
+        for shift in (64, 32, 0):
             flen, ov = flen_stats(eng, packed, shift)
             report(f"qb={qb} seg_q={seg_q} shift={shift}", flen,
-                   128 if shift == 32 or qb == 8 else 256)
+                   128 if shift < 64 or qb == 8 else 256)
 
 
 if __name__ == "__main__":

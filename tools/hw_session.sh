@@ -26,16 +26,17 @@ run tools/unaligned_probe.py
 # 0. baseline re-pin (chip-day drift): shipped config, same session
 run tools/perf_v3.py --n 100000 --resorts 1,4,8
 
-# 1. the A/B: seg_q=1 + cap=128 (one chunk/block) vs shipped.
-# NOTE: with the dual-plane fetch these runs OVERFLOW (w_len fits 128 but
-# alignment waste pushes flen over — tools/flen_probe.py got this wrong on
-# the first pass); their throughput is an upper-bound estimate of the
-# one-chunk kernel cost, valid for adoption only after exact-start fetch.
-run tools/perf_v3.py --n 100000 --seg-q 1 --cap 128 --resorts 4,8
-run tools/perf_v3.py --n 100000 --qb 8 --seg-q 1 --cap 128 --resorts 4,8
+# 1. the A/B (valid only if the unaligned probe passed): exact-start fetch
+# with one-chunk windows — CPU-validated bitwise vs the shipped engine at
+# overflow 0 (tools/flen_probe.py + the planes=1 interpret parity runs)
+run tools/perf_v3.py --n 100000 --seg-q 1 --cap 128 --planes 1 --resorts 1,4,8
+run tools/perf_v3.py --n 100000 --qb 8 --seg-q 1 --cap 128 --planes 1 --resorts 4,8
+# exact-start fetch alone (kills the dual build, keeps geometry): isolates
+# the unaligned-DMA cost inside the real kernels
+run tools/perf_v3.py --n 100000 --planes 1 --resorts 4,8
 
 # 2. if the A/B wins, the 1M point decides the bench flip
-run tools/perf_v3.py --n 1000000 --seg-q 1 --cap 128 --resorts 4,8 --steps 50
+run tools/perf_v3.py --n 1000000 --seg-q 1 --cap 128 --planes 1 --resorts 4,8 --steps 50
 run tools/perf_v3.py --n 1000000 --resorts 4,8 --steps 50
 
 echo "### done $(date)" | tee -a "$LOG"

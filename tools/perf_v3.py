@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--qb", type=int, default=16)
     ap.add_argument("--cap", type=int, default=256)
     ap.add_argument("--seg-q", type=int, default=2)
+    ap.add_argument("--planes", type=int, default=2,
+                    help="2=dual-plane fetch (default), 1=exact-start fetch")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--resorts", type=str, default="1,4")
     ap.add_argument("--pieces", action="store_true")
@@ -43,7 +45,7 @@ def main():
     g = jnp.asarray((0.0, -9.81), jnp.float32)
 
     eng = WindowEngine(cfg, boundary, bgrid, fluid.n, tq=args.tq, qb=args.qb,
-                       cap=args.cap, seg_q=args.seg_q)
+                       cap=args.cap, seg_q=args.seg_q, planes=args.planes)
     print(f"n={fluid.n} n_layout={eng.spec.n_layout} L={eng.spec.L} "
           f"tiles={eng.spec.n_tiles}")
     sim = eng.prime(fluid, (0.0, -9.81))
