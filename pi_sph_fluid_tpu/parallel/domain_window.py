@@ -90,6 +90,7 @@ class WindowDomain:
         qb: int = 16,
         cap: int = 256,
         seg_q: int = 2,
+        planes: int = 2,
         interpret: bool = False,
     ):
         self.cfg = cfg
@@ -166,7 +167,8 @@ class WindowDomain:
         # purely functionally)
         from ..ops.pallas.triple import triple_spec
 
-        self.spec = triple_spec(self.lcfg, n_local, nb_cap, tq, qb, cap, seg_q)
+        self.spec = triple_spec(self.lcfg, n_local, nb_cap, tq, qb, cap,
+                                seg_q, planes)
         eng = object.__new__(WindowEngine)
         eng.cfg = self.lcfg
         eng.n_real = n_local

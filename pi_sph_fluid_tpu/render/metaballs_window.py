@@ -183,8 +183,12 @@ class WindowRenderer:
         self.engine_spec = engine.spec
         cap_r = int(cells_per_blk * (engine.spec.seg_q + 2) * per_cell) + 2 * LANE
         self.reuse_cap = -(-cap_r // LANE) * LANE
+        # planes pinned to 2: field_from_frame builds its own dual-plane
+        # geometry regardless of the engine's fetch encoding, so the
+        # renderer kernels keep the 128-aligned-start hint even when the
+        # engine itself runs exact-start (planes=1) windows
         self.reuse_spec = engine.spec._replace(
-            n_layout=n_layout, tq=tq, qb=qb, cap=self.reuse_cap)
+            n_layout=n_layout, tq=tq, qb=qb, cap=self.reuse_cap, planes=2)
         self.n_boundary = int(engine.b_geo.shape[0])
 
     # ------------------------------------------------------------------
