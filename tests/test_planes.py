@@ -95,3 +95,35 @@ def test_dual_plane_waste_is_counted_at_cap128(scene):
                         interpret=True)
     _, _, overflow1 = jax.jit(eng1._relayout)(packed)
     assert int(overflow1) == 0
+
+
+def test_window_domain_planes1_matches_planes2():
+    """The exact-start encoding inside shard_map: a 2-slab WindowDomain
+    with planes=1 must reproduce the dual-plane domain bitwise (same
+    windows, same candidates — only the fetch encoding differs)."""
+    from jax.sharding import Mesh
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+    from pi_sph_fluid_tpu.parallel.domain_window import WindowDomain
+
+    cfg = SPHConfig()
+    fluid, braw = build_dam_break_scene(cfg)
+    boundary, bgrid = prepare_boundary(braw, cfg)
+    devs = jax.devices()
+    assert len(devs) >= 2
+    mesh = Mesh(np.asarray(devs[:2]), ("x",))
+    g = jnp.asarray(G, jnp.float32)
+
+    outs = []
+    for planes in (2, 1):
+        dd = WindowDomain(cfg, boundary, bgrid, fluid.n, mesh,
+                          tq=32, qb=8, cap=256, seg_q=2, planes=planes,
+                          interpret=True)
+        state = dd.init(fluid)
+        step = jax.jit(dd.make_step())
+        for _ in range(6):
+            state, st = step(state, g)
+        assert int(st["n_valid"]) == fluid.n
+        assert int(st["overflow"]) == 0
+        outs.append(dd.gather(state))
+    np.testing.assert_array_equal(np.asarray(outs[0].x), np.asarray(outs[1].x))
+    np.testing.assert_array_equal(np.asarray(outs[0].y), np.asarray(outs[1].y))
