@@ -5,6 +5,7 @@ lax.scan; deltas vs the full tick attribute stage costs without dispatch
 noise.  A separate scan times the relayout.
 """
 import math
+import os
 import time
 
 import jax
@@ -22,7 +23,13 @@ cfg = sph.SPHConfig(r=r)
 fluid, braw = sph.build_pool_scene(cfg)
 boundary, bgrid = sph.prepare_boundary(braw, cfg)
 g = jnp.asarray((0.0, -9.81), jnp.float32)
-eng = WindowEngine(cfg, boundary, bgrid, fluid.n)
+# engine geometry via env (same knobs as tools/perf_v3.py flags)
+_kw = dict(qb=int(os.environ.get("QB", 16)),
+           cap=int(os.environ.get("CAP", 256)),
+           seg_q=int(os.environ.get("SEG_Q", 2)),
+           planes=int(os.environ.get("PLANES", 2)))
+print("engine", _kw)
+eng = WindowEngine(cfg, boundary, bgrid, fluid.n, **_kw)
 sim = eng.prime(fluid, (0.0, -9.81))
 pk0, ctx, ovf = jax.jit(eng._relayout)(sim.packed)
 print("overflow", int(ovf))
@@ -32,8 +39,8 @@ spec = eng.spec
 def tick_variant(no_force=False, no_density=False, no_geo=False,
                  no_cpre=False, no_eos=False):
     """no_geo knocks out the density gather; no_cpre the force gather."""
-    const_geo_d = jnp.zeros((4, 2 * spec.L), jnp.float32)
-    const_geo_f = jnp.zeros((8, 2 * spec.L), jnp.float32)
+    const_geo_d = jnp.zeros((4, spec.planes * spec.L), jnp.float32)
+    const_geo_f = jnp.zeros((8, spec.planes * spec.L), jnp.float32)
 
     def tick(pk, _):
         n = pk.shape[0]
@@ -45,7 +52,7 @@ def tick_variant(no_force=False, no_density=False, no_geo=False,
             geo_d_src = jnp.concatenate([
                 jnp.concatenate([pk[:, 0:2], pk[:, 4:5], zcol], axis=1),
                 eng.b_geo_d, eng.inert_row_d], axis=0)
-            geo_d = eng._dual(geo_d_src[ctx.trip_src].T)
+            geo_d = eng._expand(geo_d_src[ctx.trip_src].T)
         if no_density:
             rho = pk[:, 5:6]
         else:
@@ -58,7 +65,7 @@ def tick_variant(no_force=False, no_density=False, no_geo=False,
             geo_f_src = jnp.concatenate([
                 jnp.concatenate([pk[:, 0:5], dens[:, 2:4], half_col], axis=1),
                 eng.b_geo, eng.inert_row], axis=0)
-            geo_f = eng._dual(geo_f_src[ctx.trip_src].T)
+            geo_f = eng._expand(geo_f_src[ctx.trip_src].T)
         if no_force:
             acc = dens[:, 0:2]
         else:
