@@ -63,15 +63,16 @@ def main():
 
     for resort in (int(x) for x in args.resorts.split(",")):
         multi = jax.jit(eng.make_multi_step(resort_every=resort))
-        gt = jnp.broadcast_to(g, (args.steps, 2))
+        steps = -(-args.steps // resort) * resort  # round up to a whole group
+        gt = jnp.broadcast_to(g, (steps, 2))
         sim2, st = multi(sim, gt)
         jax.block_until_ready(sim2.packed)
         t0 = time.perf_counter()
         sim2, st = multi(sim, gt)
         jax.block_until_ready(sim2.packed)
         wall = time.perf_counter() - t0
-        ps = fluid.n * args.steps / wall
-        print(f"resort={resort}: {ps/1e6:8.2f} M ps/s   ({wall/args.steps*1e3:6.3f} ms/step) "
+        ps = fluid.n * steps / wall
+        print(f"resort={resort}: {ps/1e6:8.2f} M ps/s   ({wall/steps*1e3:6.3f} ms/step) "
               f"overflow={int(jnp.max(st.neighbor_overflow))} "
               f"rho_err={float(jnp.max(st.max_rho_error_pct)):.3f}%")
 
