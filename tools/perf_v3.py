@@ -63,7 +63,8 @@ def main():
 
     for resort in (int(x) for x in args.resorts.split(",")):
         multi = jax.jit(eng.make_multi_step(resort_every=resort))
-        steps = -(-args.steps // resort) * resort  # round up to a whole group
+        # round up to a whole group (resort<=1 is the exact per-step path)
+        steps = args.steps if resort <= 1 else -(-args.steps // resort) * resort
         gt = jnp.broadcast_to(g, (steps, 2))
         sim2, st = multi(sim, gt)
         jax.block_until_ready(sim2.packed)
