@@ -22,7 +22,7 @@ from .models.scene import build_dam_break_scene, build_drop_scene, build_pool_sc
 
 
 def _make_scene(args):
-    cfg = SPHConfig(r=args.r)
+    cfg = SPHConfig(r=args.r, dt_factor=getattr(args, "dt_factor", 1.0))
     builders = {"drop": build_drop_scene, "dam": build_dam_break_scene,
                 "pool": build_pool_scene}
     if args.scene not in builders:
@@ -173,8 +173,11 @@ def cmd_bench(args):
     # auto_cap off: a bench measures the configured cap — silent mid-run
     # escalation (a recompile) would distort the number; overflow shows in
     # the JSON instead
+    engine_opts = dict(cap=args.cap)
+    if args.backend == "pallas-dd" and args.slabs:
+        engine_opts["slabs"] = args.slabs
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
-                       engine_opts=dict(cap=args.cap),
+                       engine_opts=engine_opts,
                        render=args.render, resort_every=args.resort_every,
                        auto_cap=False)
     gravity = ConstantGravity(cfg)
@@ -192,8 +195,10 @@ def cmd_bench(args):
         "steps": result.steps,
         "wall_s": result.wall_s,
         "backend": args.backend,
+        "resort_every": args.resort_every,
         "max_rho_error_pct_worst": result.reporter.worst_rho_error_pct,
         "neighbor_overflow": result.reporter.total_overflow,
+        "stale_drift": result.reporter.total_stale,
     }
     print(json.dumps(out))
 
@@ -205,6 +210,10 @@ def main(argv=None):
     rp = sub.add_parser("run", help="interactive simulation")
     rp.add_argument("--scene", default="drop", choices=["drop", "dam", "pool"])
     rp.add_argument("--r", type=float, default=0.075, help="particle spacing (m)")
+    rp.add_argument("--dt-factor", type=float, default=1.0,
+                    help="DT = dt_factor * H / C.  The reference runs 1.0 "
+                         "but its own CFL note says 0.4 (`pi_sph_fluid.c:19`)"
+                         " — use 0.4 for long-horizon fine-resolution scenes")
     rp.add_argument("--seconds", type=float, default=2.0, help="sim seconds")
     rp.add_argument("--backend", default="pallas",
                     choices=["pallas", "pallas-dd", "reference"])
@@ -248,10 +257,14 @@ def main(argv=None):
     rp.add_argument("--no-auto-cap", action="store_true",
                     help="disable elastic capacity recovery; overflow is "
                          "still counted and reported")
-    rp.add_argument("--resort-every", type=int, default=1,
+    rp.add_argument("--resort-every", type=int, default=8,
                     help="sticky-layout interval: re-sort the grid every k "
-                         "steps (k<=4 is fringe-exact even at the C/10 "
-                         "speed bound; big speedup at scale)")
+                         "steps.  Guarded at runtime: every carried tick "
+                         "counts particles drifting past the 0.3*H fringe "
+                         "margin (the k<=4-at-C/10 certified envelope) and "
+                         "the runner halves k and replays on a trip — so "
+                         "the default 8 is exact-or-downgraded, never "
+                         "silently lossy.  1 = exact per-step relayout")
     rp.add_argument("--save-state", default=None, metavar="F.npz",
                     help="checkpoint the final fluid state")
     rp.add_argument("--load-state", default=None, metavar="F.npz",
@@ -262,10 +275,14 @@ def main(argv=None):
     bp = sub.add_parser("bench", help="headless throughput benchmark")
     bp.add_argument("--n", type=int, default=1_000_000, help="target particle count")
     bp.add_argument("--steps", type=int, default=200)
-    bp.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
+    bp.add_argument("--backend", default="pallas",
+                    choices=["pallas", "pallas-dd", "reference"])
+    bp.add_argument("--slabs", type=int, default=None,
+                    help="pallas-dd: number of device slabs "
+                         "(default: all visible devices)")
     bp.add_argument("--render", action="store_true", help="include rendering in the loop")
     bp.add_argument("--cap", type=int, default=256)
-    bp.add_argument("--resort-every", type=int, default=4)
+    bp.add_argument("--resort-every", type=int, default=8)
     bp.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

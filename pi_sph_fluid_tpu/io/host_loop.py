@@ -142,6 +142,9 @@ class SimRunner:
         opts = dict(self._pallas_opts)
         if cap is not None:
             opts["cap"] = cap
+            # persist: a later rebuild for an unrelated reason (e.g. a
+            # staleness downgrade) must not silently revert the grown cap
+            self._pallas_opts["cap"] = cap
         self.engine = WindowEngine(self.cfg, self.boundary, self._bgrid,
                                    self.n_fluid, **opts)
         self._prime = lambda g: self.engine.prime(self._fluid_init, g)
@@ -236,7 +239,8 @@ class SimRunner:
                 max_speed=st["max_speed"],
                 neighbor_overflow=st["overflow"]
                 + lost * jnp.int32(1_000_000),
-                overflow_by=st["overflow_by"])
+                overflow_by=st["overflow_by"],
+                stale=st.get("stale"))
 
         self._settle_multi = None   # WindowDomain has no damped mode
         self._resort_every = self._resort
@@ -295,11 +299,17 @@ class SimRunner:
                 ovb = _jnp.minimum(
                     _jnp.sum(ovb.astype(_jnp.float32), axis=0), 1e9
                 ).astype(_jnp.int32)
+            stale = getattr(st, "stale", None)
+            if stale is not None:  # staleness-guard trips, same saturation
+                stale = _jnp.minimum(
+                    _jnp.sum(stale.astype(_jnp.float32)), 1e9
+                ).astype(_jnp.int32)
             return type(st)(
                 max_rho_error_pct=_jnp.max(st.max_rho_error_pct),
                 max_speed=_jnp.max(st.max_speed),
                 neighbor_overflow=_jnp.minimum(ov, 1e9).astype(_jnp.int32),
                 overflow_by=ovb,
+                stale=stale,
             )
 
         if self._renderer is None:
@@ -535,6 +545,35 @@ class SimRunner:
                             ck_export = self.domain.export(ck_sim)
                             self._build_dd(grow=grow)
                             ck_sim = self.domain.init(*ck_export)
+                    sim, i, sim_t = ck_sim, ck_i, ck_t
+                    reporter.restore(ck_rep)
+                    replay_pos = 0
+                    pending_frame = None
+                    recoveries += 1
+                    t_mono0 = time.monotonic() - sim_t
+                    continue
+                if reporter.total_stale > 0 and self._resort > 1:
+                    # staleness downgrade: particles drifted past the 0.3H
+                    # fringe margin within a sticky group, so pairs may have
+                    # been missed beyond the certified k<=4 envelope (see
+                    # StepStats.stale).  The cure is a fresher layout, not a
+                    # bigger cap: halve resort_every, revert, replay.
+                    # Terminates at resort=1 (exact mode has no carried
+                    # ticks, so the guard cannot trip).
+                    new_resort = self._resort // 2
+                    if report_stream is not None:
+                        print(f"STALE DRIFT: {reporter.total_stale} "
+                              f"particle-ticks past the fringe margin; "
+                              f"resort_every {self._resort} -> {new_resort}, "
+                              f"reverting to t={ck_t:.2f}s and replaying",
+                              file=report_stream, flush=True)
+                    self._resort = new_resort
+                    if self.backend == "pallas":
+                        self._build_pallas()
+                    else:
+                        self._build_dd()
+                    if ck_is_start:
+                        ck_sim = _start_recovered()
                     sim, i, sim_t = ck_sim, ck_i, ck_t
                     reporter.restore(ck_rep)
                     replay_pos = 0

@@ -336,12 +336,23 @@ class WindowEngine:
 
             return multi_step
 
+        zero = jnp.asarray(0, jnp.int32)
+        # staleness-guard margin: 0.3*H = the per-particle drift the k<=4
+        # fringe analysis permits at the C/10 design bound (see
+        # StepStats.stale).  Squared compare, strict >, so a run AT the
+        # bound with resort_every <= 4 never trips.
+        margin2 = jnp.float32((0.3 * self.cfg.h) ** 2)
+
         def group(sim: PackedSim, g_group):
             pk = self._kick_drift(sim, dt, half_dt)
             pk, ctx, overflow = self._relayout(pk)
+            # layout-time positions + liveness: the staleness-guard datum.
+            # Tick 0 computes pairs at exactly these positions (pair passes
+            # never move particles), so its stale count is 0 by definition.
+            x0, y0, live = pk[:, 0], pk[:, 1], pk[:, 4] > 0
             pk, au, av = self._pair_passes(pk, ctx, g_group[0])
             sim = self._finish(pk, au, av, half_dt, damp)
-            st0 = self.stats(sim, overflow)
+            st0 = self.stats(sim, overflow, stale=zero)
 
             # carried ticks as an inner scan: a python-unrolled group keeps
             # every tick's candidate-array temporaries live simultaneously
@@ -349,9 +360,13 @@ class WindowEngine:
             # the whole-step scan form reuses one tick's worth)
             def carried(sim, g_j):
                 pk = self._kick_drift(sim, dt, half_dt)
+                dx = pk[:, 0] - x0
+                dy = pk[:, 1] - y0
+                stale = jnp.sum(
+                    (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
                 pk, au, av = self._pair_passes(pk, ctx, g_j)
                 sim = self._finish(pk, au, av, half_dt, damp)
-                return sim, self.stats(sim, jnp.asarray(0, jnp.int32))
+                return sim, self.stats(sim, zero, stale=stale)
 
             sim, st_rest = jax.lax.scan(carried, sim, g_group[1:])
             stats = jax.tree_util.tree_map(
@@ -391,7 +406,7 @@ class WindowEngine:
                 jnp.zeros((self.cfg.n_cells + 1, 8), jnp.int32))
 
     # ------------------------------------------------------------------
-    def stats(self, sim: PackedSim, overflow=None) -> StepStats:
+    def stats(self, sim: PackedSim, overflow=None, stale=None) -> StepStats:
         """Non-finite real rows fold into the overflow scream (x1e6): TPU
         max-reductions silently DROP NaN operands, so a NaN'd state would
         otherwise print healthy max stats (observed on v5e — a degenerated
@@ -408,6 +423,7 @@ class WindowEngine:
             max_rho_error_pct=jnp.maximum(max_rho_error, 0.0) / rho0 * 100.0,
             max_speed=jnp.sqrt(jnp.max(speed2)),
             neighbor_overflow=ov + jnp.minimum(bad, 1000) * jnp.int32(1_000_000),
+            stale=stale,
         )
 
     # ------------------------------------------------------------------

@@ -61,6 +61,17 @@ class StepStats(NamedTuple):
     # buffer instead of every capacity at once.  The aggregate counter above
     # stays authoritative (it also carries the non-finite/lost screams).
     overflow_by: jnp.ndarray | None = None
+    # Sticky-layout staleness guard (sticky modes only, None elsewhere):
+    # count of real particles whose displacement since the group's layout
+    # was built exceeds 0.3*H — the per-particle drift the k<=4-at-C/10
+    # fringe analysis permits (a layout stale by k-1 ticks misses pairs
+    # only in the outer 0.2*(k-1)*H support shell; at the design bound
+    # `pi_sph_fluid.c:16` each particle moves <= 0.1*H/tick, so k=4 tops
+    # out at 0.3*H).  While this reads 0, ANY resort_every runs within the
+    # certified k<=4 envelope; nonzero means pairs may be missed beyond
+    # the argued fringe and the runner downgrades resort_every (counted,
+    # never silent — like every other loss channel).
+    stale: jnp.ndarray | None = None
 
 
 def _sort_and_neighbors(fluid: FluidState, ids, boundary_grid: GridContext, cfg: SPHConfig):

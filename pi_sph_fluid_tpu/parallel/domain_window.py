@@ -512,6 +512,12 @@ class WindowDomain:
             packed = jnp.concatenate(
                 [packed[:, :5], rowidx_col[:, None], packed[:, 6:]], axis=1)
             pk, ctx, ov_w = eng._relayout(packed)
+            # staleness-guard datum: layout-time positions + liveness (same
+            # 0.3*H fringe margin as the single-chip engine — see
+            # StepStats.stale; ghosts count too, since candidate drift can
+            # miss pairs exactly like query drift)
+            x0, y0, live = pk[:, 0], pk[:, 1], pk[:, 4] > 0
+            margin2 = jnp.float32((0.3 * cfg.h) ** 2)
             rowidx = pk[:, 5].astype(jnp.int32)
             slot_of_input = jnp.full((n_input,), OOB, jnp.int32).at[
                 jnp.where(pk[:, 4] > 0, rowidx, n_input)
@@ -525,7 +531,7 @@ class WindowDomain:
             def pair_passes(pk, g):
                 return eng._pair_core(pk, ctx, g)
 
-            def tick_stats(pk, dens4, ovf, ov_by=None):
+            def tick_stats(pk, dens4, ovf, ov_by=None, stale=None):
                 rho0 = jnp.float32(cfg.rho_0)
                 q_valid = pk[:, 4] > 0
                 sp2 = pk[:, 2] ** 2 + pk[:, 3] ** 2
@@ -539,6 +545,8 @@ class WindowDomain:
                     jnp.minimum(bad, 1000) * jnp.int32(1_000_000)
                 if ov_by is None:   # carried ticks: no capacity crossings
                     ov_by = jnp.zeros((4,), jnp.int32)
+                if stale is None:   # tick 0 computes at layout positions
+                    stale = jnp.asarray(0, jnp.int32)
                 return (
                     jax.lax.pmax(jnp.maximum(rho_err, 0.0) / rho0 * 100.0, self.axis),
                     jnp.sqrt(jax.lax.pmax(speed2, self.axis)),
@@ -546,6 +554,7 @@ class WindowDomain:
                     jax.lax.psum(jnp.sum(q_valid & (pk[:, 7] >= 0)).astype(jnp.int32),
                                  self.axis),
                     jax.lax.psum(ov_by, self.axis),
+                    jax.lax.psum(stale, self.axis),
                 )
 
             def finish(pk, dens4, acc):
@@ -607,9 +616,14 @@ class WindowDomain:
                     [(rec[:, 0] + x_shift)[:, None], rec[:, 1:4],
                      ghost_rows[:, 4:8]], axis=1)
                 pk = pk.at[ghost_all].set(new_rows, mode="drop")
+                dx = pk[:, 0] - x0
+                dy = pk[:, 1] - y0
+                stale = jnp.sum(
+                    (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
                 dens4, acc = pair_passes(pk, g_j)
                 pk = finish(pk, dens4, acc)
-                return (pk, acc), tick_stats(pk, dens4, jnp.asarray(0, jnp.int32))
+                return (pk, acc), tick_stats(pk, dens4, jnp.asarray(0, jnp.int32),
+                                             stale=stale)
 
             (pk, acc), st_rest = jax.lax.scan(carried, (pk, acc), g_group[1:])
             stats = jax.tree_util.tree_map(
@@ -635,7 +649,7 @@ class WindowDomain:
             in_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
                       spec_p, spec_p, spec_p, P()),
             out_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p,
-                       (P(), P(), P(), P(), P())),
+                       (P(), P(), P(), P(), P(), P())),
             check_vma=False,
         )
 
@@ -652,6 +666,7 @@ class WindowDomain:
                 "overflow": stats[2],
                 "n_valid": stats[3],
                 "overflow_by": stats[4],
+                "stale": stats[5],
             }
 
         return group

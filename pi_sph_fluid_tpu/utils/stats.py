@@ -41,6 +41,7 @@ class StatsReporter:
     _worst_speed: object = 0.0
     _overflow: object = 0
     _overflow_by: object = None   # (4,) [window, halo, mig, slab] or None
+    _stale: object = 0            # sticky-layout staleness-guard trips
     _window_rho: object = 0.0
     _window_speed: object = 0.0
 
@@ -69,6 +70,16 @@ class StatsReporter:
         self._drain()
         return None if self._overflow_by is None else self._overflow_by.copy()
 
+    @property
+    def total_stale(self) -> int:
+        """Sticky-layout staleness-guard trips (particle-ticks whose drift
+        since the group's layout exceeded the 0.3*H fringe margin — see
+        models.simulation.StepStats.stale).  Nonzero means resort_every is
+        too high for the current flow speed; SimRunner's elastic recovery
+        responds by halving it and replaying."""
+        self._drain()
+        return int(self._stale)
+
     def _drain(self):
         """Fold pending device stats into the host-side aggregates."""
         for st in self._pending:
@@ -86,6 +97,10 @@ class StatsReporter:
                 base = (np.zeros(4, np.int64) if self._overflow_by is None
                         else self._overflow_by)
                 self._overflow_by = base + ovb
+            stale = getattr(st, "stale", None)
+            if stale is not None:
+                self._stale = int(self._stale) + int(
+                    np.sum(np.asarray(stale, np.int64)))
         self._pending.clear()
 
     def snapshot(self) -> tuple:
@@ -95,11 +110,13 @@ class StatsReporter:
         self._drain()
         ovb = None if self._overflow_by is None else self._overflow_by.copy()
         return (self.t, self._last_report_t, float(self._worst_rho),
-                float(self._worst_speed), int(self._overflow), ovb)
+                float(self._worst_speed), int(self._overflow), ovb,
+                int(self._stale))
 
     def restore(self, snap: tuple) -> None:
         (self.t, self._last_report_t, self._worst_rho,
-         self._worst_speed, self._overflow, self._overflow_by) = snap
+         self._worst_speed, self._overflow, self._overflow_by,
+         self._stale) = snap
         self._window_rho = 0.0
         self._window_speed = 0.0
         self._pending.clear()
@@ -130,6 +147,8 @@ class StatsReporter:
         total_ov = int(self._overflow)
         if total_ov:
             line += f", NEIGHBOR OVERFLOW: {total_ov}"
+        if int(self._stale):
+            line += f", STALE DRIFT: {int(self._stale)}"
         self._last_report_t = self.t
         self._last_report_wall = now
         self._window_rho = 0.0
