@@ -8,11 +8,15 @@ resident in XLA via lax.scan.  Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-value is the sticky-layout throughput (resort_every=4; pairs can only be
-missed in the outer 0.2*(k-1)*H shell of the support even at the C/10
-speed bound — engine_v3.make_multi_step); ``exact_ps_per_s`` is the
-resort-every-step number.  ``neighbor_overflow`` must read 0: window caps
-are sized so the flagship run loses no pairs.
+value is the GUARDED sticky-layout throughput (resort_every=8: every
+carried tick counts particles drifting past the 0.3*H fringe margin —
+StepStats.stale — and ``stale_drift`` must read 0, proving the settled
+pool ran within the k<=4-certified envelope the whole time);
+``exact_ps_per_s`` is the resort-every-step number.
+``neighbor_overflow`` must read 0: window caps are sized so the flagship
+run loses no pairs.  ``m1`` is the 1M-particle operating point (the
+north-star scene, BASELINE.md) and ``prev_headline_ps_per_s`` echoes the
+newest BENCH_r*.json on disk so cross-round regressions self-announce.
 
 vs_baseline is against the reference's implied real-time throughput on a
 Raspberry Pi 4: 431 particles x 4102 enforced ticks/s ~= 1.77e6
@@ -56,12 +60,14 @@ def bench_window(target_n: int, steps: int) -> dict:
     g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps, 2))
 
     # the sticky headline run ALSO yields the relayout frame for the
-    # renderer measurement (return_frame shares one compiled executable)
-    multi4 = jax.jit(eng.make_multi_step(resort_every=4, return_frame=True))
-    sim4, st4, frame = multi4(sim, g)          # compile + warm
+    # renderer measurement (return_frame shares one compiled executable);
+    # resort=8 is the guarded default — stale_drift certifies it ran
+    # within the k<=4 fringe envelope (see module docstring)
+    multi8 = jax.jit(eng.make_multi_step(resort_every=8, return_frame=True))
+    sim4, st4, frame = multi8(sim, g)          # compile + warm
     jax.block_until_ready(sim4.packed)
     t0 = time.perf_counter()
-    sim4, st4, frame = multi4(sim, g)
+    sim4, st4, frame = multi8(sim, g)
     jax.block_until_ready(sim4.packed)
     wall4 = time.perf_counter() - t0
     wall1, st1 = _run(jax.jit(eng.make_multi_step(resort_every=1)), sim, g)
@@ -93,21 +99,68 @@ def bench_window(target_n: int, steps: int) -> dict:
     g_s = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps_s, 2))
     wall_s, _ = _run(jax.jit(eng_s.make_multi_step(resort_every=4)), sim_s, g_s)
 
+    # the 1M operating point: the north-star scene (1M @ 60 steps/s would
+    # be 6e7... the target is ps/s; steps/s shows the 60 Hz distance)
+    m1 = bench_1m()
+
     return {
         "n_fluid": fluid.n,
         "steps": steps,
         "wall_s": wall4,
         "ps_per_s": fluid.n * steps / wall4,
         "exact_ps_per_s": fluid.n * steps / wall1,
+        "resort_every": 8,
+        "stale_drift": int(jnp.sum(st4.stale)),
         "scene": "pool",
         "max_rho_error_pct": float(jnp.max(st4.max_rho_error_pct)),
         "neighbor_overflow": int(jnp.max(st4.neighbor_overflow)),
         "frame_ms": frame_ms,
         "render_overflow": int(f_ov),
+        "m1": m1,
         "smallN_ticks_per_s": steps_s / wall_s,
         "smallN_vs_realtime": (steps_s / wall_s) / REALTIME_TICKS,
         "backend": "window-v3",
     }
+
+
+def bench_1m(steps: int = 48) -> dict:
+    """The 1M-particle north-star operating point (BASELINE.md: 1M @ 60+
+    steps/s on one chip), guarded resort=8."""
+    from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
+
+    r = math.sqrt(6.35 / 1_000_000)
+    cfg = sph.SPHConfig(r=r)
+    fluid, braw = sph.build_pool_scene(cfg)
+    boundary, bgrid = sph.prepare_boundary(braw, cfg)
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n)
+    sim = eng.prime(fluid, (0.0, -9.81))
+    g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps, 2))
+    wall, st = _run(jax.jit(eng.make_multi_step(resort_every=8)), sim, g)
+    return {
+        "n_fluid": fluid.n,
+        "ps_per_s": fluid.n * steps / wall,
+        "steps_per_s": steps / wall,
+        "ms_per_step": wall / steps * 1e3,
+        "stale_drift": int(jnp.sum(st.stale)),
+        "neighbor_overflow": int(jnp.max(st.neighbor_overflow)),
+    }
+
+
+def _prev_headline() -> float | None:
+    """Newest BENCH_r*.json value on disk — cross-round regressions must
+    self-announce instead of hiding in the archive (VERDICT r3 weak #1)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not files:
+        return None
+    try:
+        with open(files[-1]) as f:
+            return float(json.load(f).get("value"))
+    except Exception:
+        return None
 
 
 def bench_reference_cpu(target_n: int, steps: int) -> dict:
@@ -178,6 +231,10 @@ def main():
         "vs_baseline": result["ps_per_s"] / BASELINE_PS,
         **{k: v for k, v in result.items() if k != "ps_per_s"},
     }
+    prev = _prev_headline()
+    if prev:
+        out["prev_headline_ps_per_s"] = prev
+        out["vs_prev_round"] = result["ps_per_s"] / prev
     print(json.dumps(out))
 
 

@@ -41,6 +41,125 @@ __all__ = ["WindowRenderer"]
 INERT_PX = -1e6
 
 
+def pixel_layout(cfg: SPHConfig, px, py, qb: int, tq: int):
+    """Static qb-quantized per-grid-row pixel layout (host-side numpy).
+
+    Pixels are laid out once into blocks that never straddle grid rows, so
+    each block's candidate window is one contiguous span of the per-cell
+    table (the same property the particle layout has, triple.py).  Returns
+    a dict: ``q`` (n_layout, 8) packed queries, ``slots`` (len(px),) the
+    layout slot of input pixel i, ``c_first``/``c_last``/``has_q`` per
+    block, ``n_layout``.  Factored out of WindowRenderer so the dd
+    renderer can build per-slab layouts in local coordinates."""
+    keys = np.asarray(cell_ids(jnp.asarray(px), jnp.asarray(py), cfg))
+    order = np.argsort(keys, kind="stable")
+    px_s, py_s, keys_s = px[order], py[order], keys[order]
+    m = cfg.n_cell_cols
+    grow = keys_s // m
+    n_rows_g = cfg.n_cell_rows
+    row_count = np.bincount(grow, minlength=n_rows_g)
+    rowcap = -(-row_count // qb) * qb
+    rstart = np.concatenate([[0], np.cumsum(rowcap)])
+    n_layout = int(-(-max(rstart[-1], 1) // tq) * tq)
+    q = np.full((n_layout, 8), 0.0, np.float32)
+    q[:, 0] = INERT_PX
+    q[:, 1] = INERT_PX
+    cells_px = np.full(n_layout, cfg.n_cells, np.int32)
+    slots = np.zeros(len(px), np.int32)
+    row_seen = np.zeros(n_rows_g, np.int64)
+    for j in range(len(px_s)):
+        r = grow[j]
+        slot = int(rstart[r] + row_seen[r])
+        row_seen[r] += 1
+        q[slot, 0] = px_s[j]
+        q[slot, 1] = py_s[j]
+        q[slot, 4] = 1.0
+        cells_px[slot] = keys_s[j]
+        slots[order[j]] = slot
+
+    nqb_total = n_layout // qb
+    cb = cells_px.reshape(nqb_total, qb)
+    has_q = (cb < cfg.n_cells).any(axis=1)
+    c_first = np.where(has_q, cb[:, 0], cfg.n_cells)
+    c_last = np.where(has_q,
+                      np.max(np.where(cb < cfg.n_cells, cb, -1), axis=1),
+                      cfg.n_cells)
+    return dict(q=q, slots=slots, c_first=c_first.astype(np.int32),
+                c_last=c_last.astype(np.int32), has_q=has_q,
+                n_layout=n_layout)
+
+
+def pixel_window_cap(cfg: SPHConfig, cols: int, qb: int, seg_q: int) -> int:
+    """Window lane capacity for pixel-block queries: block pixel extent in
+    cells x segment cover rows x max cell occupancy (physical bound)."""
+    px_pitch = cfg.width / cols
+    cells_per_blk = qb * px_pitch / cfg.cell_length + 4
+    per_cell = (cfg.cell_length / cfg.r) ** 2 * 1.5
+    cap = int(cells_per_blk * (seg_q + 2) * per_cell) + 2 * LANE
+    return -(-cap // LANE) * LANE
+
+
+def pixel_windows(T, c_first, c_last, has_q, cap, plane_len, n_cells):
+    """Per-pixel-block candidate windows from the per-cell table T, with
+    dual-plane fetch rebasing and counted overflow (window-cap truncation
+    plus the L-budget guard build_frame stashes at T[n_cells, 2])."""
+    T_lo = T[c_first]
+    T_hi = T[c_last]
+    w_start = jnp.where(has_q, T_lo[:, 0], 0).astype(jnp.int32)
+    w_len = jnp.where(has_q, T_hi[:, 1] - T_lo[:, 0], 0).astype(jnp.int32)
+    extra = w_start % LANE
+    use_hi = extra >= 64
+    fetch = jnp.where(use_hi, plane_len + w_start - extra, w_start - extra)
+    extra_eff = extra - jnp.where(use_hi, 64, 0)
+    flen = extra_eff + w_len
+    overflow = jnp.minimum(jnp.sum(jnp.maximum(
+        flen - cap, 0).astype(jnp.float32)), 1e8).astype(jnp.int32)
+    overflow = overflow + jnp.minimum(T[n_cells, 2], 1000) * jnp.int32(1_000_000)
+    return fetch, flen, overflow
+
+
+def field_call(cfg: SPHConfig, spec: TripleSpec, interpret: bool,
+               q_packed, geo, fetch, flen):
+    """Invoke the pixel-field kernel over a (n_layout // tq)-tile grid."""
+    n_tiles = spec.n_layout // spec.tq
+    wsp = _pad8(fetch.reshape(n_tiles, spec.nqb))
+    flp = _pad8(flen.reshape(n_tiles, spec.nqb))
+    here, ahead = _span_specs(spec)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            here, ahead, here,
+            pl.BlockSpec((spec.tq, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((spec.tq, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, spec.nqb, 4, spec.cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, spec.nqb)),
+        ],
+    )
+    kernel = functools.partial(_field_kernel, cfg=cfg, spec=spec,
+                               n_tiles=n_tiles, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((spec.n_layout, 1), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wsp, wsp, flp, q_packed, geo)
+
+
+def field_scale_of(cfg: SPHConfig) -> float:
+    """Normalisation 1/W(px_width/2) of the reference's 128-col raster
+    (`pi_sph_fluid.c:399-401`); degenerates to 'any particle in support
+    lights the pixel' at fine resolutions where W(px/2) = 0."""
+    px_width = np.float32(cfg.width) / np.float32(128.0)
+    w_ref = float(kernel_w_scalar(np.float32(px_width) / np.float32(2.0), cfg))
+    if w_ref <= 0.0:
+        w_ref = float(np.float32(1e-30))
+    return float(np.float32(cfg.kernel_norm) / np.float32(w_ref))
+
+
 def _field_kernel(
     w_start, w_start_n,
     flen_s,           # (8, nqb) SMEM true fetch lengths
@@ -102,69 +221,23 @@ class WindowRenderer:
         self.interpret = engine.interpret if interpret is None else interpret
         self.seg_q = seg_q
 
-        # max metaball distance: px_width/2 of the reference's 128-col raster
-        # (`pi_sph_fluid.c:399-401`); norm cancels against the unnormalized
-        # kernel sums
-        px_width = np.float32(cfg.width) / np.float32(128.0)
-        w_ref = float(kernel_w_scalar(np.float32(px_width) / np.float32(2.0), cfg))
-        if w_ref <= 0.0:
-            # at fine resolutions the reference distance px_width/2 falls
-            # outside the kernel support, so the reference's threshold
-            # degenerates to "any particle within 2H lights the pixel"
-            # (sum >= W(px/2) = 0); a tiny denominator reproduces that
-            w_ref = float(np.float32(1e-30))
-        self.field_scale = float(np.float32(cfg.kernel_norm) / np.float32(w_ref))
+        self.field_scale = field_scale_of(cfg)
 
         # ---- static pixel layout: qb-quantized per-grid-row blocks --------
-        px, py = pixel_centers(cfg, rows, cols)
-        keys = np.asarray(cell_ids(jnp.asarray(px), jnp.asarray(py), cfg))
-        order = np.argsort(keys, kind="stable")
-        px_s, py_s, keys_s = px[order], py[order], keys[order]
-        m = cfg.n_cell_cols
-        grow = keys_s // m
-        n_rows_g = cfg.n_cell_rows
-        row_count = np.bincount(grow, minlength=n_rows_g)
-        rowcap = -(-row_count // qb) * qb
-        rstart = np.concatenate([[0], np.cumsum(rowcap)])
         # wide tiles: thin (tq, 1) output blocks pay ~50 us/tile of pipeline
         # overhead (measured 59 ms/frame at 1M with tq=8)
         tq = max(qb, 64)
-        n_layout = int(-(-rstart[-1] // tq) * tq)
-        q = np.full((n_layout, 8), 0.0, np.float32)
-        q[:, 0] = INERT_PX
-        q[:, 1] = INERT_PX
-        cells_px = np.full(n_layout, cfg.n_cells, np.int32)
-        unsort = np.zeros(rows * cols, np.int32)
-        row_seen = np.zeros(n_rows_g, np.int64)
-        for j in range(len(px_s)):
-            r = grow[j]
-            slot = int(rstart[r] + row_seen[r])
-            row_seen[r] += 1
-            q[slot, 0] = px_s[j]
-            q[slot, 1] = py_s[j]
-            q[slot, 4] = 1.0
-            cells_px[slot] = keys_s[j]
-            unsort[order[j]] = slot
-        self.q_packed = jnp.asarray(q)
-        self.unsort = jnp.asarray(unsort)
-
-        # per-block query cells (static): blocks never straddle grid rows
-        nqb_total = n_layout // qb
-        cb = cells_px.reshape(nqb_total, qb)
-        has_q = (cb < cfg.n_cells).any(axis=1)
-        c_first = np.where(has_q, cb[:, 0], cfg.n_cells)
-        c_last = np.where(has_q, np.max(np.where(cb < cfg.n_cells, cb, -1), axis=1),
-                          cfg.n_cells)
-        self.blk_c_first = jnp.asarray(c_first.astype(np.int32))
-        self.blk_c_last = jnp.asarray(c_last.astype(np.int32))
-        self.blk_has_q = jnp.asarray(has_q)
+        px, py = pixel_centers(cfg, rows, cols)
+        lay = pixel_layout(cfg, px, py, qb, tq)
+        n_layout = lay["n_layout"]
+        self.q_packed = jnp.asarray(lay["q"])
+        self.unsort = jnp.asarray(lay["slots"])
+        self.blk_c_first = jnp.asarray(lay["c_first"])
+        self.blk_c_last = jnp.asarray(lay["c_last"])
+        self.blk_has_q = jnp.asarray(lay["has_q"])
 
         # window cap: block pixel extent in cells x cover rows x occupancy
-        px_pitch = cfg.width / cols
-        cells_per_blk = qb * px_pitch / cfg.cell_length + 4
-        per_cell = (cfg.cell_length / cfg.r) ** 2 * 1.5
-        cap = int(cells_per_blk * (seg_q + 2) * per_cell) + 2 * LANE
-        cap = -(-cap // LANE) * LANE
+        cap = pixel_window_cap(cfg, cols, qb, seg_q)
 
         n_fluid = engine.n_real
         # a private candidate spec over the fluid (no boundary): the
@@ -181,8 +254,7 @@ class WindowRenderer:
         # ENGINE's candidate structure — window cap re-derived for the
         # engine's segment cover rows
         self.engine_spec = engine.spec
-        cap_r = int(cells_per_blk * (engine.spec.seg_q + 2) * per_cell) + 2 * LANE
-        self.reuse_cap = -(-cap_r // LANE) * LANE
+        self.reuse_cap = pixel_window_cap(cfg, cols, qb, engine.spec.seg_q)
         # planes pinned to 2: field_from_frame builds its own dual-plane
         # geometry regardless of the engine's fetch encoding, so the
         # renderer kernels keep the 128-aligned-start hint even when the
@@ -222,25 +294,13 @@ class WindowRenderer:
         geo = jnp.concatenate([pk_r, inert], axis=0)[trip_src].T
         geo = jnp.concatenate([geo, jnp.pad(geo[:, 64:], ((0, 0), (0, 64)))], axis=1)
 
-        # pixel-block windows from the per-cell table
-        T_lo = T[self.blk_c_first]
-        T_hi = T[self.blk_c_last]
-        w_start = jnp.where(self.blk_has_q, T_lo[:, 0], 0).astype(jnp.int32)
-        w_len = jnp.where(self.blk_has_q, T_hi[:, 1] - T_lo[:, 0], 0).astype(jnp.int32)
-        extra = w_start % LANE
-        use_hi = extra >= 64
-        fetch = jnp.where(use_hi, fspec.L + w_start - extra, w_start - extra)
-        extra_eff = extra - jnp.where(use_hi, 64, 0)
-        flen = extra_eff + w_len
-        overflow = jnp.minimum(jnp.sum(jnp.maximum(
-            flen - spec.cap, 0).astype(jnp.float32)), 1e8).astype(jnp.int32)
-        # L-budget guard stashed by build_frame (triple.py): counted here
-        # like window overflow so a candidate-budget overrun is never silent
-        overflow = overflow + jnp.minimum(T[cfg.n_cells, 2], 1000) * jnp.int32(1_000_000)
-        n_tiles = spec.n_layout // spec.tq
-        out = self._call_field(spec, geo,
-                               _pad8(fetch.reshape(n_tiles, spec.nqb)),
-                               _pad8(flen.reshape(n_tiles, spec.nqb)))
+        # pixel-block windows from the per-cell table (the L-budget guard
+        # build_frame stashes at T[n_cells, 2] is folded into overflow)
+        fetch, flen, overflow = pixel_windows(
+            T, self.blk_c_first, self.blk_c_last, self.blk_has_q,
+            spec.cap, fspec.L, cfg.n_cells)
+        out = field_call(cfg, spec, self.interpret, self.q_packed, geo,
+                         fetch, flen)
         return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
 
     # ------------------------------------------------------------------
@@ -273,49 +333,12 @@ class WindowRenderer:
             [plane, jnp.pad(plane[:, 64:], ((0, 0), (0, 64)))], axis=1)
         l_pad = espec.L + spec.cap
 
-        T_lo = T[self.blk_c_first]
-        T_hi = T[self.blk_c_last]
-        w_start = jnp.where(self.blk_has_q, T_lo[:, 0], 0).astype(jnp.int32)
-        w_len = jnp.where(self.blk_has_q, T_hi[:, 1] - T_lo[:, 0], 0).astype(jnp.int32)
-        extra = w_start % LANE
-        use_hi = extra >= 64
-        fetch = jnp.where(use_hi, l_pad + w_start - extra, w_start - extra)
-        extra_eff = extra - jnp.where(use_hi, 64, 0)
-        flen = extra_eff + w_len
-        overflow = jnp.minimum(jnp.sum(jnp.maximum(
-            flen - spec.cap, 0).astype(jnp.float32)), 1e8).astype(jnp.int32)
-        overflow = overflow + jnp.minimum(T[cfg.n_cells, 2], 1000) * jnp.int32(1_000_000)
-        n_tiles = spec.n_layout // spec.tq
-        out = self._call_field(spec, geo,
-                               _pad8(fetch.reshape(n_tiles, spec.nqb)),
-                               _pad8(flen.reshape(n_tiles, spec.nqb)))
+        fetch, flen, overflow = pixel_windows(
+            T, self.blk_c_first, self.blk_c_last, self.blk_has_q,
+            spec.cap, l_pad, cfg.n_cells)
+        out = field_call(cfg, spec, self.interpret, self.q_packed, geo,
+                         fetch, flen)
         return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
-
-    def _call_field(self, spec, geo, wsp, flp):
-        n_tiles = spec.n_layout // spec.tq
-        here, ahead = _span_specs(spec)
-        grid_spec = pl.GridSpec(
-            grid=(n_tiles,),
-            in_specs=[
-                here, ahead, here,
-                pl.BlockSpec((spec.tq, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.HBM),
-            ],
-            out_specs=pl.BlockSpec((spec.tq, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, spec.nqb, 4, spec.cap), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, spec.nqb)),
-            ],
-        )
-        kernel = functools.partial(_field_kernel, cfg=self.cfg, spec=spec,
-                                   n_tiles=n_tiles, interpret=self.interpret)
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((spec.n_layout, 1), jnp.float32),
-            grid_spec=grid_spec,
-            interpret=self.interpret,
-        )(wsp, wsp, flp, self.q_packed, geo)
 
     def render(self, sim) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(page-packed framebuffer, window overflow count).
