@@ -194,11 +194,11 @@ class SimRunner:
     def _build_dd(self, grow: dict | None = None):
         """(Re)build the multi-chip slab pipeline (SURVEY §5): the window
         kernels per device inside shard_map, ppermute migration + halo
-        exchange.  Rendering is demo-grade: the sharded state is gathered
-        to the host per dispatch and drawn by the jnp metaball renderer —
-        a synchronous path (the gather breaks the async dispatch
-        pipeline), fine for demos, not for the 60 Hz 1M design point
-        (that is the single-chip WindowRenderer's job).
+        exchange.  Rendering is per-slab and in-jit (round 4): each device
+        rasters its own pixel columns from a local relayout
+        (WindowDomain.make_render) — no host gather, so the dd display
+        rides the same async pending-frame pipeline as the single-chip
+        path.
 
         ``grow`` (the elastic-recovery rebuild) overrides capacity options
         with the values _dd_growth proposed for the starved categories —
@@ -224,15 +224,24 @@ class SimRunner:
                                    self.n_fluid, mesh, **opts)
         fluid_init = self._fluid_init
         self._prime = lambda g: self.domain.init(fluid_init)
-        dmulti = self.domain.make_multi_step(resort_every=self._resort)
+        multi = self._wrap_dd(self.domain.make_multi_step(
+            resort_every=self._resort))
+        # damped settle pre-roll, same constant as the other backends
+        self._settle_multi = jax.jit(self._wrap_dd(
+            self.domain.make_multi_step(damping=0.995)))
+        self._resort_every = self._resort
+        self._wire(multi)
+
+    def _wrap_dd(self, dmulti):
+        """Adapt a WindowDomain multi-step's stats dict to StepStats; a
+        lost particle must scream (weight conservation breaks) — x1e6 into
+        the overflow stat like capacity losses."""
         n_fluid = self.n_fluid
 
         def multi(state, g_trace):
             from ..models.simulation import StepStats
 
             state, st = dmulti(state, g_trace)
-            # a lost particle must scream: weight conservation breaks
-            # x1e6 into the overflow stat like capacity losses
             lost = jnp.maximum(n_fluid - st["n_valid"][-1], 0)
             return state, StepStats(
                 max_rho_error_pct=st["max_rho_error_pct"],
@@ -242,14 +251,11 @@ class SimRunner:
                 overflow_by=st["overflow_by"],
                 stale=st.get("stale"))
 
-        self._settle_multi = None   # WindowDomain has no damped mode
-        self._resort_every = self._resort
-        self._wire(multi)
+        return multi
 
     def _wire(self, multi):
         """Build the renderer and the fused per-dispatch executable."""
         backend, render = self.backend, self._render
-        self._post_frame = None
         # renderers are normalized to take the whole sim state: the window
         # renderer re-lays-out the packed state itself (exact for any state,
         # including sticky-layout mid-group states), the jnp one takes a
@@ -267,17 +273,12 @@ class SimRunner:
             wrend = WindowRenderer(self.engine, *self._render_shape)
             self._renderer = wrend.render_from_frame
         elif backend == "pallas-dd":
-            # host-gather demo path (see the dd branch in __init__): the
-            # in-jit renderer slot stays empty; run() calls _post_frame
-            # after each dispatch instead
-            self._renderer = None
-            dd_render = jax.jit(make_renderer(self.cfg, *self._render_shape))
-            domain = self.domain
-
-            def post_frame(state):
-                return dd_render(domain.gather(state))
-
-            self._post_frame = post_frame
+            # per-slab window renderer inside the dispatch jit: each device
+            # rasters its own pixel columns from a local relayout (one
+            # [x,y,m] halo ppermute per frame, no host gather) — the dd
+            # display rides the same async pending-frame pipeline as the
+            # single-chip path (domain_window.make_render)
+            self._renderer = self.domain.make_render(*self._render_shape)
         else:
             jnp_render = make_renderer(self.cfg, *self._render_shape)
             self._renderer = lambda sim, frame: (jnp_render(sim.fluid),
@@ -363,7 +364,7 @@ class SimRunner:
         # device attachments, so raise steps_per_dispatch further there
         if steps_per_dispatch:
             k = steps_per_dispatch
-        elif self._renderer is not None or self._post_frame is not None:
+        elif self._renderer is not None:
             k = max(1, int(round(1.0 / (60.0 * dt))))
         else:
             k = max(1, int(round(0.1 / dt)))
@@ -372,7 +373,7 @@ class SimRunner:
 
         if settle_seconds > 0.0 and self._settle_multi is None:
             raise ValueError(
-                "settle_seconds is not supported on backend='pallas-dd'")
+                f"settle_seconds is not supported on backend={self.backend!r}")
         g_init = gravity_source.current()
 
         def _start():
@@ -400,28 +401,50 @@ class SimRunner:
         recoveries = 0
 
         def _start_recovered():
-            """_start() with settle-overflow recovery: grow the cap (1.5x
-            ladder) and redo prime+settle until the pre-roll is clean (or
-            the ceiling is hit).  Used at run start AND on a mid-run
+            """_start() with settle-overflow recovery: grow capacities on
+            their ladders and redo prime+settle until the pre-roll is clean
+            (or the ceilings are hit).  Used at run start AND on a mid-run
             revert-to-start."""
             nonlocal use_ac, recoveries
             sim, settle_ov = _start()
             while use_ac and settle_ov > 0:
-                old_cap = self.engine.spec.cap
-                new_cap = self._next_cap(old_cap)
-                if new_cap <= old_cap:
-                    use_ac = False
+                if self.backend == "pallas":
+                    old_cap = self.engine.spec.cap
+                    new_cap = self._next_cap(old_cap)
+                    if new_cap <= old_cap:
+                        use_ac = False
+                        if report_stream is not None:
+                            print(f"WINDOW OVERFLOW during settle at "
+                                  f"cap={old_cap} (max-cap reached): "
+                                  f"continuing with lost pairs",
+                                  file=report_stream, flush=True)
+                        break
                     if report_stream is not None:
-                        print(f"WINDOW OVERFLOW during settle at "
-                              f"cap={old_cap} (max-cap reached): continuing "
-                              f"with lost pairs", file=report_stream,
+                        print(f"WINDOW OVERFLOW during settle: cap "
+                              f"{old_cap} -> {new_cap}, restarting settle",
+                              file=report_stream, flush=True)
+                    self._build_pallas(cap=new_cap)
+                else:
+                    # dd: the settle path has no per-category attribution
+                    # (it drains only the aggregate), so grow everything
+                    from ..models.simulation import OVERFLOW_CATEGORIES
+
+                    grow = self._dd_growth(set(OVERFLOW_CATEGORIES))
+                    if not grow:
+                        use_ac = False
+                        if report_stream is not None:
+                            print("OVERFLOW during settle with every "
+                                  "capacity at its ceiling: continuing "
+                                  "with losses", file=report_stream,
+                                  flush=True)
+                        break
+                    if report_stream is not None:
+                        gtxt = ", ".join(f"{k} -> {v}"
+                                         for k, v in sorted(grow.items()))
+                        print(f"OVERFLOW during settle: growing {gtxt}, "
+                              f"restarting settle", file=report_stream,
                               flush=True)
-                    break
-                if report_stream is not None:
-                    print(f"WINDOW OVERFLOW during settle: cap {old_cap} -> "
-                          f"{new_cap}, restarting settle", file=report_stream,
-                          flush=True)
-                self._build_pallas(cap=new_cap)
+                    self._build_dd(grow=grow)
                 recoveries += 1
                 sim, settle_ov = _start()
             return sim
@@ -466,10 +489,6 @@ class SimRunner:
                 replay_pos = len(g_log)
             if self._renderer is None:
                 sim, st = self._dispatch(sim, g_trace)
-                if self._post_frame is not None and sink is not None:
-                    # demo-grade dd rendering: synchronous host gather +
-                    # jnp renderer (documented in __init__)
-                    sink.push(np.asarray(self._post_frame(sim)))
             else:
                 sim, st, frame = self._dispatch(sim, g_trace)
                 if sink is not None:

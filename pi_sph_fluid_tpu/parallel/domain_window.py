@@ -239,7 +239,7 @@ class WindowDomain:
         return jnp.pad(packed, ((0, extra), (0, 0)),
                        constant_values=0.0).at[packed.shape[0]:, 7].set(-1.0)
 
-    def make_step(self):
+    def make_step(self, damping: float = 1.0):
         cfg = self.cfg
         lcfg = self.lcfg
         spec = self.spec
@@ -250,6 +250,7 @@ class WindowDomain:
         inv_cell = jnp.float32(1.0) / cell
         dt = jnp.float32(cfg.dt)
         half = jnp.float32(0.5) * dt
+        damp = jnp.float32(damping)
         n_lcells1 = lcfg.n_cells + 1
         slab_cap, halo_cap = self.slab_cap, self.halo_cap
 
@@ -321,7 +322,8 @@ class WindowDomain:
             av = jnp.where(lv2, packed2[11], 0.0)
             fluid = _inert(FluidState(
                 x=packed2[0] + jnp.where(lv2, shift, 0.0), y=packed2[1],
-                u=packed2[2] + half * au, v=packed2[3] + half * av,
+                u=(packed2[2] + half * au) * damp,
+                v=(packed2[3] + half * av) * damp,
                 m=packed2[4], rho=packed2[8], p=packed2[9]), lv2)
             ids = jnp.where(lv2, packed2[7].astype(jnp.int32), -1)
             valid = lv2
@@ -380,7 +382,7 @@ class WindowDomain:
 
         return step
 
-    def make_multi_step(self, resort_every: int = 1):
+    def make_multi_step(self, resort_every: int = 1, damping: float = 1.0):
         """K steps per dispatch via lax.scan.
 
         ``resort_every`` > 1 enables *sticky groups*: migration, halo
@@ -390,17 +392,21 @@ class WindowDomain:
         3-cell halo strips already carry the drift margin (particles move
         <= H/10 per tick under the C/10 design bound), and ghost densities
         stay locally computable.  Same staleness bound as the single-chip
-        engine's sticky layout.
-        """
+        engine's sticky layout (and the same runtime guard: the carried
+        ticks count drift past the 0.3*H fringe margin into stats
+        ``stale``).
+
+        ``damping`` < 1 scales velocities each tick (the settle pre-roll,
+        matching engine_v3's damped multi-step)."""
         if resort_every <= 1:
-            step = self.make_step()
+            step = self.make_step(damping)
 
             def multi(state: DomainState, g_trace):
                 return jax.lax.scan(step, state, jnp.asarray(g_trace, jnp.float32))
 
             return multi
 
-        group = self._make_group(resort_every)
+        group = self._make_group(resort_every, damping)
 
         def multi(state: DomainState, g_trace):
             g_trace = jnp.asarray(g_trace, jnp.float32)
@@ -415,7 +421,7 @@ class WindowDomain:
 
         return multi
 
-    def _make_group(self, resort_every: int):
+    def _make_group(self, resort_every: int, damping: float = 1.0):
         """One sticky group: full step machinery on tick 0, value-only halo
         refresh + kernels on ticks 1..resort_every-1."""
         cfg = self.cfg
@@ -427,6 +433,7 @@ class WindowDomain:
         inv_cell = jnp.float32(1.0) / cell
         dt = jnp.float32(cfg.dt)
         half = jnp.float32(0.5) * dt
+        damp = jnp.float32(damping)
         slab_cap, halo_cap = self.slab_cap, self.halo_cap
         n_input = slab_cap + 2 * halo_cap
         OOB = jnp.int32(spec.n_layout + 7)  # dropped by scatter/gather modes
@@ -560,8 +567,8 @@ class WindowDomain:
             def finish(pk, dens4, acc):
                 # cols 5-6 carry fresh rho/p; one concat per tick (column
                 # .at-sets into the lane dimension are a slow path)
-                u2 = pk[:, 2] + half * acc[:, 0]
-                v2 = pk[:, 3] + half * acc[:, 1]
+                u2 = (pk[:, 2] + half * acc[:, 0]) * damp
+                v2 = (pk[:, 3] + half * acc[:, 1]) * damp
                 return jnp.concatenate(
                     [pk[:, 0:2], u2[:, None], v2[:, None], pk[:, 4:5],
                      dens4[:, 0:2], pk[:, 7:8]], axis=1)
@@ -670,6 +677,148 @@ class WindowDomain:
             }
 
         return group
+
+    # ------------------------------------------------------------------
+    def make_render(self, rows: int = 64, cols: int = 128, qb: int = 8,
+                    seg_q: int = 2):
+        """Per-slab metaball renderer — NO host gather (the round-3 dd
+        display was a synchronous full-state gather + jnp renderer, which
+        stalled the dispatch pipeline and could not scale).
+
+        Each device owns the pixels whose grid column falls in its slab
+        (the same ``gcol // k`` rule particle migration uses), rendered in
+        LOCAL coordinates with the window field kernel over a local
+        relayout of slab + halo particles — a pixel's 2H support spans at
+        most one cell beyond the owned columns, well inside the 3-cell
+        halo strips.  One [x, y, m] halo ppermute per frame; the composed
+        global field is a tiny (d * n_layout_px) cross-device gather
+        (~KBs over ICI), then threshold + bit-pack as usual
+        (`pi_sph_fluid.c:380-411`).
+
+        Returns ``render(state, frame_ctx=None) -> (framebuffer,
+        overflow)`` — jit-able, so SimRunner fuses it into the per-dispatch
+        executable exactly like the single-chip path."""
+        import functools
+
+        from ..ops.grid import cell_ids
+        from ..ops.pallas.triple import build_frame, triple_spec
+        from ..render.metaballs_window import (INERT_PX, field_call,
+                                               field_scale_of, pixel_layout,
+                                               pixel_window_cap,
+                                               pixel_windows)
+        from ..render.metaballs import pack_framebuffer
+        from ..models.scene import pixel_centers
+
+        cfg, lcfg, d = self.cfg, self.lcfg, self.n_devices
+        k, hc = self.k_cols, self.HALO_CELLS
+        cell = np.float32(cfg.cell_length)
+        slab_cap, halo_cap = self.slab_cap, self.halo_cap
+        tq = max(qb, 64)
+
+        # ---- static per-device pixel layouts (local coordinates) ----------
+        px, py = pixel_centers(cfg, rows, cols)
+        gcol_px = np.clip((px / cell).astype(np.int64), 0, cfg.n_cell_cols - 1)
+        dest = np.clip(gcol_px // k, 0, d - 1)
+        lays = []
+        for dev in range(d):
+            sel = np.nonzero(dest == dev)[0]
+            shift = np.float32(dev * k - hc) * cell
+            lays.append((sel, pixel_layout(
+                lcfg, (px[sel] - shift).astype(np.float32),
+                py[sel].astype(np.float32), qb, tq)))
+        n_layout = max(lay["n_layout"] for _, lay in lays)
+        nqb_tot = n_layout // qb
+        q_all = np.zeros((d, n_layout, 8), np.float32)
+        q_all[:, :, 0] = INERT_PX
+        q_all[:, :, 1] = INERT_PX
+        cf_all = np.full((d, nqb_tot), lcfg.n_cells, np.int32)
+        cl_all = np.full((d, nqb_tot), lcfg.n_cells, np.int32)
+        hq_all = np.zeros((d, nqb_tot), bool)
+        unsort = np.zeros(rows * cols, np.int64)
+        for dev, (sel, lay) in enumerate(lays):
+            nl, nb = lay["n_layout"], lay["n_layout"] // qb
+            q_all[dev, :nl] = lay["q"]
+            cf_all[dev, :nb] = lay["c_first"]
+            cl_all[dev, :nb] = lay["c_last"]
+            hq_all[dev, :nb] = lay["has_q"]
+            unsort[sel] = dev * n_layout + lay["slots"]
+        sh = NamedSharding(self.mesh, P(self.axis))
+        q_sh = jax.device_put(q_all.reshape(d * n_layout, 8), sh)
+        cf_sh = jax.device_put(cf_all.reshape(-1), sh)
+        cl_sh = jax.device_put(cl_all.reshape(-1), sh)
+        hq_sh = jax.device_put(hq_all.reshape(-1), sh)
+        unsort_j = jnp.asarray(unsort.astype(np.int32))
+
+        # candidate spec over the local fluid rows (slab + both halos)
+        n_input = slab_cap + 2 * halo_cap
+        cap = pixel_window_cap(cfg, cols, qb, seg_q)
+        fspec = triple_spec(lcfg, n_input, 0, tq, qb, cap, seg_q)
+        spec = fspec._replace(n_layout=n_layout)
+        scale = jnp.float32(field_scale_of(cfg))
+        cellj = jnp.float32(cfg.cell_length)
+        inv_cell = jnp.float32(1.0) / cellj
+        interpret = self.interpret
+
+        def gcol_of(x):
+            return jnp.clip((x * inv_cell).astype(jnp.int32), 0,
+                            cfg.n_cell_cols - 1)
+
+        def local_render(fluid_flat, q_pk, c_first, c_last, has_q):
+            fluid = FluidState(*fluid_flat)
+            my = jax.lax.axis_index(self.axis)
+            valid = fluid.m > 0
+            gcol = gcol_of(fluid.x)
+            in_l = valid & (gcol < my * k + hc)
+            in_r = valid & (gcol >= (my + 1) * k - hc)
+            from_l, from_r, ov_h = _exchange_impl(
+                self.axis, d, in_l, in_r,
+                [fluid.x, fluid.y, fluid.m], halo_cap)
+            shift = (my * k - hc).astype(jnp.float32) * cellj
+            x = jnp.concatenate([fluid.x, from_l[0], from_r[0]])
+            y = jnp.concatenate([fluid.y, from_l[1], from_r[1]])
+            m_ = jnp.concatenate([fluid.m, from_l[2], from_r[2]])
+            xl = x - jnp.where(m_ > 0, shift, 0.0)
+
+            # local renderer relayout (the WindowRenderer.field recipe on
+            # the local grid): sort + frame + slim-row gather + dual plane
+            keys = jnp.where(m_ > 0, cell_ids(xl, y, lcfg), lcfg.n_cells)
+            order = jnp.argsort(keys, stable=True).astype(jnp.int32)
+            counts = jnp.zeros(lcfg.n_cells + 2, jnp.int32).at[keys + 1].add(1)
+            cell_starts = jnp.cumsum(counts, dtype=jnp.int32)
+            bcsr0 = jnp.zeros(lcfg.n_cells + 1, jnp.int32)
+            layout_src, trip_src, T = build_frame(fspec, lcfg, cell_starts,
+                                                  bcsr0)
+            slim = jnp.stack([xl, y, m_, jnp.zeros_like(x)], axis=1)[order]
+            slim = jnp.pad(slim, ((0, fspec.n_layout - n_input), (0, 0)))
+            inert = jnp.asarray([[INERT_PX, INERT_PX, 0.0, 0.0]], jnp.float32)
+            pk_r = jnp.concatenate([slim, inert], axis=0)[layout_src]
+            geo = jnp.concatenate([pk_r, inert], axis=0)[trip_src].T
+            geo = jnp.concatenate(
+                [geo, jnp.pad(geo[:, 64:], ((0, 0), (0, 64)))], axis=1)
+
+            fetch, flen, ov = pixel_windows(T, c_first, c_last, has_q,
+                                            spec.cap, fspec.L, lcfg.n_cells)
+            out = field_call(lcfg, spec, interpret, q_pk, geo, fetch, flen)
+            ov_all = jax.lax.psum((ov + ov_h).astype(jnp.int32), self.axis)
+            return out[:, 0], ov_all
+
+        spec_p = P(self.axis)
+        sharded = jax.shard_map(
+            local_render,
+            mesh=self.mesh,
+            in_specs=(tuple([spec_p] * 7), spec_p, spec_p, spec_p, spec_p),
+            out_specs=(spec_p, P()),
+            check_vma=False,
+        )
+
+        def render(state: DomainState, frame_ctx=None):
+            fields, overflow = sharded(tuple(state.fluid), q_sh, cf_sh,
+                                       cl_sh, hq_sh)
+            field = fields[unsort_j] * scale
+            lit = (field >= 1.0).reshape(rows, cols)
+            return pack_framebuffer(lit, rows, cols), overflow
+
+        return render
 
     # ------------------------------------------------------------------
     def gather(self, state: DomainState) -> FluidState:

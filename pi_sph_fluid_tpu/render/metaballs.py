@@ -62,19 +62,24 @@ def unpack_framebuffer(buf, rows: int = 64, cols: int = 128) -> np.ndarray:
 
 
 def make_renderer(cfg: SPHConfig, rows: int = 64, cols: int = 128, cap: int | None = None):
-    """Build ``render(fluid_sorted) -> (rows/8*cols,) uint8`` on-device.
+    """Build ``render(fluid) -> (rows/8*cols,) uint8`` on-device.
 
-    ``fluid_sorted`` must be in grid-sorted order (as produced by the step);
-    the grid context is rebuilt from it — a stable argsort of already-sorted
-    keys, i.e. the identity permutation, costing one cheap sort.
-    """
+    Accepts fluid in ANY order: the grid's candidate indices refer to
+    grid-sorted positions, so positions are permuted by ``grid.order``
+    before the field gather.  (For already-sorted input that permutation
+    is the identity.)  Round 4 regression note: this function used to
+    require pre-sorted input, and the dd host-gather display fed it
+    id-ordered state — silently corrupt frames; the order is now handled
+    here so no caller can repeat that."""
     px_np, py_np = pixel_centers(cfg, rows, cols)
     px = jnp.asarray(px_np)
     py = jnp.asarray(py_np)
 
     def render(fluid):
         grid = build_grid(fluid.x, fluid.y, cfg)
-        field = metaball_field(px, py, fluid.x, fluid.y, grid, cfg, cap=cap)
+        fx = fluid.x[grid.order]
+        fy = fluid.y[grid.order]
+        field = metaball_field(px, py, fx, fy, grid, cfg, cap=cap)
         lit = (field >= 1.0).reshape(rows, cols)
         return pack_framebuffer(lit, rows, cols)
 

@@ -204,9 +204,12 @@ def test_window_overflow_counted_in_dd(scene):
 
 
 def test_simrunner_pallas_dd_renders(scene, tmp_path):
-    """Multi-chip rendering (demo-grade host-gather path): a dd run with a
-    FileSink must produce one non-empty frame per dispatch that agrees
-    with the jnp renderer applied to the gathered state."""
+    """Multi-chip rendering (round-4 per-slab window renderer, no host
+    gather): a dd run with a FileSink must produce one non-empty frame per
+    dispatch, pixel-identical to the jnp renderer applied to the gathered
+    state.  (The round-3 demo path fed make_renderer id-ordered fluid —
+    silently corrupt frames; make_renderer now sorts internally and this
+    comparison is no longer circular.)"""
     from pi_sph_fluid_tpu.io.display import FileSink
     from pi_sph_fluid_tpu.io.gravity import ConstantGravity
     from pi_sph_fluid_tpu.io.host_loop import SimRunner
@@ -344,3 +347,45 @@ def test_dd_recovery_targets_the_starved_halo(scene):
     assert runner.domain.halo_cap > 8
     assert runner.domain.spec.cap == 256          # window untouched
     assert (runner.domain.mig_cap, runner.domain.slab_cap) == (mig0, slab0)
+
+
+def test_dd_settle_damps_the_startup_transient(scene):
+    """Round 4: the dd backend supports the damped settle pre-roll
+    (WindowDomain.make_multi_step(damping=...)).
+
+    Two parts: (a) the damping factor is actually applied each tick —
+    the same trajectory run with damping=0.9 for 30 ticks ends far
+    slower than undamped (0.9^30 ~ 0.04, so a 2x margin is generous);
+    (b) SimRunner(settle_seconds=...) runs end-to-end on pallas-dd (the
+    round-3 code raised ValueError) and produces finite state."""
+    from pi_sph_fluid_tpu.io.gravity import ConstantGravity
+    from pi_sph_fluid_tpu.io.host_loop import SimRunner
+    from pi_sph_fluid_tpu.models.scene import build_dam_break_scene
+
+    cfg, fluid, boundary, bgrid = scene
+
+    # (a) mechanism: damped vs undamped multi-step from the same state
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, _mesh(2), **KW)
+    state = dd.init(fluid)
+    gt = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (30, 2))
+
+    def end_speed(damping):
+        multi = jax.jit(dd.make_multi_step(resort_every=2, damping=damping))
+        st2, _ = multi(state, gt)
+        f = dd.gather(st2)
+        return float(np.max(np.hypot(np.asarray(f.u), np.asarray(f.v))))
+
+    assert end_speed(0.9) < 0.5 * end_speed(1.0)
+
+    # (b) the runner's settle path on pallas-dd
+    _, braw = build_dam_break_scene(cfg)
+    opts = dict(slabs=2, interpret=True, tq=32, qb=8, cap=256, seg_q=2)
+    runner = SimRunner(cfg, fluid, braw, backend="pallas-dd",
+                       engine_opts=dict(opts), render=False,
+                       resort_every=2)
+    res = runner.run(ConstantGravity(cfg), None,
+                     sim_seconds=4 * cfg.dt, steps_per_dispatch=4,
+                     settle_seconds=8 * cfg.dt)
+    f = runner.domain.gather(res.sim)
+    assert np.isfinite(np.asarray(f.x)).all()
+    assert np.isfinite(np.asarray(f.u)).all()
