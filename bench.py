@@ -103,6 +103,10 @@ def bench_window(target_n: int, steps: int) -> dict:
     # be 6e7... the target is ps/s; steps/s shows the 60 Hz distance)
     m1 = bench_1m()
 
+    # the scale-out backend at its per-slab design load (VERDICT r3 #3a:
+    # the dd path needs a driver-visible number, not just tools/dd_probe)
+    dd = bench_dd()
+
     return {
         "n_fluid": fluid.n,
         "steps": steps,
@@ -117,6 +121,7 @@ def bench_window(target_n: int, steps: int) -> dict:
         "frame_ms": frame_ms,
         "render_overflow": int(f_ov),
         "m1": m1,
+        "dd": dd,
         "smallN_ticks_per_s": steps_s / wall_s,
         "smallN_vs_realtime": (steps_s / wall_s) / REALTIME_TICKS,
         "backend": "window-v3",
@@ -143,6 +148,47 @@ def bench_1m(steps: int = 48) -> dict:
         "ms_per_step": wall / steps * 1e3,
         "stale_drift": int(jnp.sum(st.stale)),
         "neighbor_overflow": int(jnp.max(st.neighbor_overflow)),
+    }
+
+
+def bench_dd(per_slab_n: int = 500_000, steps: int = 96,
+             resort_every: int = 8) -> dict:
+    """The domain-decomposition backend at its per-slab design load
+    (4M over 8 chips = 500k/slab, BASELINE.md scale-out target).  This
+    environment has ONE physical chip, so the measurement is a 1-slab
+    WindowDomain carrying the FULL production DD machinery — sticky-group
+    migration, halo ppermutes (self-edges on 1 device), per-capacity
+    overflow attribution — i.e. the per-slab cost whose d-chip aggregate
+    is d x this number (halo traffic is KB-scale over ICI;
+    `pi_sph_fluid.c:610` is the parallelism row this scales out)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from pi_sph_fluid_tpu.parallel.domain_window import WindowDomain
+
+    r = math.sqrt(6.35 / per_slab_n)
+    cfg = sph.SPHConfig(r=r)
+    fluid, braw = sph.build_pool_scene(cfg)
+    boundary, bgrid = sph.prepare_boundary(braw, cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, mesh)
+    state = dd.init(fluid)
+    multi = jax.jit(dd.make_multi_step(resort_every=resort_every))
+    g = jnp.broadcast_to(jnp.asarray((0.0, -9.81), jnp.float32), (steps, 2))
+    state2, st = multi(state, g)               # compile + warm
+    jax.block_until_ready(state2.fluid.x)
+    t0 = time.perf_counter()
+    state2, st = multi(state, g)
+    jax.block_until_ready(state2.fluid.x)
+    wall = time.perf_counter() - t0
+    return {
+        "n_fluid_per_slab": fluid.n,
+        "slabs_measured": 1,
+        "ps_per_s_per_slab": fluid.n * steps / wall,
+        "ms_per_step": wall / steps * 1e3,
+        "resort_every": resort_every,
+        "overflow": int(np.max(np.asarray(st["overflow"]))),
+        "projected_8chip_ps_per_s": 8 * fluid.n * steps / wall,
     }
 
 
