@@ -204,7 +204,10 @@ def _prev_headline() -> float | None:
         return None
     try:
         with open(files[-1]) as f:
-            return float(json.load(f).get("value"))
+            d = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        d = d.get("parsed", d)
+        return float(d["value"])
     except Exception:
         return None
 
