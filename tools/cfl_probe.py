@@ -49,8 +49,13 @@ def run_one(dt_factor: float, n: int, seconds: float, settle: float,
         def flush(self):
             sys.stdout.flush()
 
+    # bound the dispatch: the headless default batches a whole 0.1 sim-s
+    # report interval, which at dt_factor=0.4 is ~9.7k steps ≈ 60 s of
+    # device time — long enough to trip the axon tunnel's RPC watchdog
+    # (observed twice: "TPU worker process crashed or restarted" mid-settle)
     res = runner.run(ConstantGravity(cfg), None, sim_seconds=seconds,
-                     settle_seconds=settle, report_stream=Tee())
+                     settle_seconds=settle, steps_per_dispatch=2048,
+                     report_stream=Tee())
     rows = [(float(t), float(rho), float(spd))
             for t, rho, spd in REPORT.findall(buf.getvalue())]
     print(f"  -> {res.steps} steps, {res.particle_steps_per_s/1e6:.2f}M ps/s, "
