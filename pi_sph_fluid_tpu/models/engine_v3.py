@@ -200,9 +200,13 @@ class WindowEngine:
             jnp.concatenate([packed[:, 0:2], packed[:, 4:5], zcol], axis=1),
             self.b_geo_d, self.inert_row_d], axis=0)
         geo_d = self._expand(geo_d_src[ctx.trip_src].T)     # (4, planes*L)
-        rho = density_window_call(packed, geo_d, ctx.w_start, ctx.flen,
-                                  cfg, spec, interpret=self.interpret)
-        dens = self._eos(rho)
+        # density kernel computes the Tait EOS in its epilogue and returns
+        # (n_layout, 4) = rho, p, c_press, rho_eff directly (round 4: the
+        # XLA squeeze->EOS->stack path cost ~0.3-0.4 ms/tick in layout
+        # copies — see ROOFLINE.md §1b); self._eos is the jnp reference
+        # for it (tools/knockout_probe.py --no-eos).
+        dens = density_window_call(packed, geo_d, ctx.w_start, ctx.flen,
+                                   cfg, spec, interpret=self.interpret)
         # force candidates: geometry + fresh per-particle c_press/rho_eff/a
         geo_f_src = jnp.concatenate([
             jnp.concatenate([packed[:, 0:5], dens[:, 2:4], half_col], axis=1),
@@ -357,7 +361,19 @@ class WindowEngine:
             # carried ticks as an inner scan: a python-unrolled group keeps
             # every tick's candidate-array temporaries live simultaneously
             # in XLA's buffer assignment (measured 23G at 4M particles —
-            # the whole-step scan form reuses one tick's worth)
+            # the whole-step scan form reuses one tick's worth).
+            #
+            # Stats are SAMPLED on sticky groups (round 4): the max-rho /
+            # max-speed / non-finite reductions run on the fresh tick and
+            # the group's final tick only — the round-4 device trace put
+            # the per-tick stats fusion at ~0.28 ms/tick (~5%), and the
+            # reporter maxes over report intervals anyway, so interior
+            # ticks contribute 0 to maxes that physics cannot swing in
+            # <= k-1 ticks of dt.  The counted loss channels keep their
+            # guarantees: window overflow only arises on the fresh tick's
+            # relayout, the STALE drift guard runs on EVERY carried tick,
+            # and a non-finite state persists, so the scream is delayed at
+            # most k-1 ticks and the run's final tick is always sampled.
             def carried(sim, g_j):
                 pk = self._kick_drift(sim, dt, half_dt)
                 dx = pk[:, 0] - x0
@@ -366,9 +382,20 @@ class WindowEngine:
                     (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
                 pk, au, av = self._pair_passes(pk, ctx, g_j)
                 sim = self._finish(pk, au, av, half_dt, damp)
-                return sim, self.stats(sim, zero, stale=stale)
+                return sim, stale
 
-            sim, st_rest = jax.lax.scan(carried, sim, g_group[1:])
+            sim, stales = jax.lax.scan(carried, sim, g_group[1:])
+            st_last = self.stats(sim, zero, stale=stales[-1])
+            k1 = resort_every - 1
+            st_rest = StepStats(
+                max_rho_error_pct=jnp.zeros((k1,), jnp.float32)
+                    .at[-1].set(st_last.max_rho_error_pct),
+                max_speed=jnp.zeros((k1,), jnp.float32)
+                    .at[-1].set(st_last.max_speed),
+                neighbor_overflow=jnp.zeros((k1,), jnp.int32)
+                    .at[-1].set(st_last.neighbor_overflow),
+                stale=stales,
+            )
             stats = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b]), st0, st_rest)
             return sim, stats, (ctx.trip_src, ctx.T)

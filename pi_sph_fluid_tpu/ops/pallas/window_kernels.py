@@ -194,7 +194,7 @@ def _density_kernel(
     flen_s,                               # (8, nqb) SMEM true fetch lengths
     q_ref,                                # (tq, 8) queries
     geo_hbm,                              # (4, 2L) x, y, m~, 0 (dual-plane)
-    out_ref,                              # (tq, 1): rho
+    out_ref,                              # (tq, 4): rho, p, c_press, rho_eff
     stage, sem,
     *, cfg: SPHConfig, spec: TripleSpec, n_tiles: int, interpret: bool,
 ):
@@ -209,6 +209,8 @@ def _density_kernel(
     norm = jnp.float32(cfg.kernel_norm)
     two_inv_h = jnp.float32(2.0) / jnp.float32(cfg.h)
     half_inv_h = jnp.float32(0.5) / jnp.float32(cfg.h)
+    inv_rho0 = jnp.float32(1.0 / cfg.rho_0)
+    tait_b = jnp.float32(cfg.tait_b)
 
     # hoist query columns once per tile ((tq,1) extractions are sublane
     # relayouts; per-block (qb,1) extractions would cost the same EACH)
@@ -234,8 +236,25 @@ def _density_kernel(
                 t1 = jnp.maximum(1.0 - half_inv_h * r, 0.0)  # support == q<2
                 t1sq = t1 * t1
                 acc = acc + (cm * (t1sq * t1sq)) * (1.0 + two_inv_h * r)
-            # self term included; Tait EOS + p/rho^2 run in XLA on the output
-            out_ref[qlo:qlo + qb, 0:1] = norm * jnp.sum(acc, axis=1, keepdims=True)
+            # self term included.  Tait EOS + the per-particle force inputs
+            # p/rho^2 and rho/2 run IN-KERNEL on the reduced (qb, 1) column
+            # (`pi_sph_fluid.c:294-301`): the round-4 device trace showed the
+            # XLA epilogue (squeeze -> EOS fusion -> 4-column stack) costing
+            # ~0.3-0.4 ms/tick in T(1024)<->T(8,128) layout copies alone —
+            # a dozen VPU ops on the already-resident column are ~free here.
+            rho = norm * jnp.sum(acc, axis=1, keepdims=True)
+            ratio = rho * inv_rho0
+            rr2 = ratio * ratio
+            rr4 = rr2 * rr2
+            p = jnp.maximum(tait_b * (rr4 * rr2 * ratio - 1.0), 0.0)
+            # no rho > 0 guard divide: pad queries (rho = 0) give p = 0 and
+            # 0/0 = NaN, killed by the select (NaN never escapes a select on
+            # TPU — same argument as the viscosity denominator)
+            cpress = jnp.where(rho > 0.0, p / (rho * rho), 0.0)
+            out_ref[qlo:qlo + qb, 0:1] = rho
+            out_ref[qlo:qlo + qb, 1:2] = p
+            out_ref[qlo:qlo + qb, 2:3] = cpress
+            out_ref[qlo:qlo + qb, 3:4] = 0.5 * rho
 
         _chunk_dispatch(flen_s[ib, b], n_chunks, body)
 
@@ -253,7 +272,7 @@ def density_window_call(q_packed, geo_d, ctx_start, ctx_flen, cfg: SPHConfig,
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((spec.tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((spec.tq, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, spec.nqb, 4, spec.cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, spec.nqb)),
@@ -263,7 +282,7 @@ def density_window_call(q_packed, geo_d, ctx_start, ctx_flen, cfg: SPHConfig,
                                n_tiles=n_tiles, interpret=interpret)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((spec.n_layout, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((spec.n_layout, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ws, ws, fl, q_packed, geo_d)

@@ -629,10 +629,35 @@ class WindowDomain:
                     (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
                 dens4, acc = pair_passes(pk, g_j)
                 pk = finish(pk, dens4, acc)
-                return (pk, acc), tick_stats(pk, dens4, jnp.asarray(0, jnp.int32),
-                                             stale=stale)
+                return (pk, acc), stale
 
-            (pk, acc), st_rest = jax.lax.scan(carried, (pk, acc), g_group[1:])
+            # Carried ticks return only the LOCAL stale count — stats are
+            # SAMPLED (round 4, mirroring engine_v3.make_multi_step): the
+            # max/probe reductions and ALL cross-chip collectives (6 per
+            # carried tick before) run once post-scan on the group's final
+            # state.  Exactness: window overflow only arises at the fresh
+            # tick's relayout, ownership (and thus the n_valid conservation
+            # count, whose LAST row is the one host_loop consumes) cannot
+            # change within a group, the stale guard still runs every tick
+            # (one batched vector psum), and a non-finite state persists so
+            # the scream is delayed at most k-1 ticks.
+            (pk, acc), stales_local = jax.lax.scan(carried, (pk, acc),
+                                                   g_group[1:])
+            stales = jax.lax.psum(stales_local, self.axis)
+            # finish() wrote the last tick's rho into pk col 5, so tick_stats
+            # needs no carried dens4 — a (n, 1) rho column suffices
+            st_last = tick_stats(pk, pk[:, 5:6], jnp.asarray(0, jnp.int32))
+            k1 = g_group.shape[0] - 1
+            zf = jnp.zeros((k1,), jnp.float32)
+            zi = jnp.zeros((k1,), jnp.int32)
+            st_rest = (
+                zf.at[-1].set(st_last[0]),
+                zf.at[-1].set(st_last[1]),
+                zi.at[-1].set(st_last[2]),
+                zi.at[-1].set(st_last[3]),
+                jnp.zeros((k1, 4), jnp.int32).at[-1].set(st_last[4]),
+                stales,
+            )
             stats = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a[None], b]), st0, st_rest)
 

@@ -54,11 +54,15 @@ def tick_variant(no_force=False, no_density=False, no_geo=False,
                 eng.b_geo_d, eng.inert_row_d], axis=0)
             geo_d = eng._expand(geo_d_src[ctx.trip_src].T)
         if no_density:
-            rho = pk[:, 5:6]
+            # knocked-out density: run the jnp EOS on the carried rho so the
+            # stage attribution still includes an EOS (the kernel computes
+            # it in-epilogue since round 4)
+            dens = eng._eos(pk[:, 5:6])
         else:
-            rho = density_window_call(pk, geo_d, ctx.w_start, ctx.flen,
-                                      cfg, spec)
-        dens = rho[:, 0:1] * jnp.ones((1, 4)) if no_eos else eng._eos(rho)
+            dens = density_window_call(pk, geo_d, ctx.w_start, ctx.flen,
+                                       cfg, spec)
+        if no_eos:
+            dens = dens[:, 0:1] * jnp.ones((1, 4))
         if no_cpre:
             geo_f = const_geo_f
         else:
