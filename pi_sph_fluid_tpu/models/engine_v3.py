@@ -114,6 +114,10 @@ class WindowEngine:
             [[INERT_X, INERT_X, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]], jnp.float32)
         self.inert_row_d = jnp.asarray(
             [[INERT_X, INERT_X, 0.0, 0.0]], dtype=jnp.float32)
+        # loop-invariant zero column for the density-geometry build (a
+        # fresh broadcast inside the scan body materializes a per-tick
+        # T(1,128)->T(8,128) layout copy — round-4 trace)
+        self._zcol = jnp.zeros((self.spec.n_layout, 1), jnp.float32)
 
     # ------------------------------------------------------------------
     @property
@@ -182,7 +186,7 @@ class WindowEngine:
 
     def _pair_core(self, packed, ctx: TripleCtx, g):
         """density -> EOS -> forces over one candidate frame; returns
-        (dens (n_layout, 4), acc (n_layout, 2)).
+        (rp (n_layout, 2) = rho/p, acc (n_layout, 2)).
 
         Two gathers per tick — slim (L, 4) density geometry before the
         density pass, full (L, 8) force candidates (with the fresh
@@ -191,34 +195,34 @@ class WindowEngine:
         is per op (so narrow/bf16 planes save nothing), a merged 8-row
         array makes the density DMA+dual ~0.7 ms/tick more expensive, and
         elementwise carried-tick refresh still needs two gathers
-        (au/av + cp/re).  See window_kernels.py module docstring."""
+        (au/av + cp/re).  See window_kernels.py module docstring.
+
+        The density kernel runs the Tait EOS in its epilogue and emits the
+        assembled fluid force-candidate rows geo8 = [x,y,u,v,m,cp,re,a]
+        directly (round 4): the XLA squeeze->EOS->stack epilogue and the
+        per-tick column-concat of packed[:, 0:5] with the EOS outputs both
+        cost real layout copies (~0.6 ms/tick combined in the round-4
+        trace); self._eos stays as the jnp reference for the epilogue
+        (tools/knockout_probe.py --no-eos)."""
         cfg, spec = self.cfg, self.spec
-        n = packed.shape[0]
-        zcol = jnp.zeros((n, 1), jnp.float32)
-        half_col = jnp.full((n, 1), 0.5, jnp.float32)
         geo_d_src = jnp.concatenate([
-            jnp.concatenate([packed[:, 0:2], packed[:, 4:5], zcol], axis=1),
+            jnp.concatenate([packed[:, 0:2], packed[:, 4:5], self._zcol],
+                            axis=1),
             self.b_geo_d, self.inert_row_d], axis=0)
         geo_d = self._expand(geo_d_src[ctx.trip_src].T)     # (4, planes*L)
-        # density kernel computes the Tait EOS in its epilogue and returns
-        # (n_layout, 4) = rho, p, c_press, rho_eff directly (round 4: the
-        # XLA squeeze->EOS->stack path cost ~0.3-0.4 ms/tick in layout
-        # copies — see ROOFLINE.md §1b); self._eos is the jnp reference
-        # for it (tools/knockout_probe.py --no-eos).
-        dens = density_window_call(packed, geo_d, ctx.w_start, ctx.flen,
-                                   cfg, spec, interpret=self.interpret)
-        # force candidates: geometry + fresh per-particle c_press/rho_eff/a
-        geo_f_src = jnp.concatenate([
-            jnp.concatenate([packed[:, 0:5], dens[:, 2:4], half_col], axis=1),
-            self.b_geo, self.inert_row], axis=0)
+        geo8, rp = density_window_call(packed, geo_d, ctx.w_start, ctx.flen,
+                                       cfg, spec, interpret=self.interpret)
+        # force candidates: fluid rows straight from the density kernel
+        geo_f_src = jnp.concatenate([geo8, self.b_geo, self.inert_row],
+                                    axis=0)
         geo_f = self._expand(geo_f_src[ctx.trip_src].T)     # (8, planes*L)
-        acc = forces_window_call(packed, dens, geo_f, ctx.w_start, ctx.flen,
+        acc = forces_window_call(packed, geo8, geo_f, ctx.w_start, ctx.flen,
                                  g, cfg, spec, interpret=self.interpret)
-        return dens, acc
+        return rp, acc
 
     def _pair_passes(self, packed, ctx: TripleCtx, g):
-        dens, acc = self._pair_core(packed, ctx, g)
-        packed = jnp.concatenate([packed[:, :5], dens[:, 0:2], packed[:, 7:8]], axis=1)
+        rp, acc = self._pair_core(packed, ctx, g)
+        packed = jnp.concatenate([packed[:, :5], rp, packed[:, 7:8]], axis=1)
         return packed, acc[:, 0], acc[:, 1]
 
     def _force_pass(self, packed, g):

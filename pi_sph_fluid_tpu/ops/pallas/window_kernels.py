@@ -194,7 +194,9 @@ def _density_kernel(
     flen_s,                               # (8, nqb) SMEM true fetch lengths
     q_ref,                                # (tq, 8) queries
     geo_hbm,                              # (4, 2L) x, y, m~, 0 (dual-plane)
-    out_ref,                              # (tq, 4): rho, p, c_press, rho_eff
+    geo8_ref,                             # (tq, 8): x,y,u,v,m,cp,re,a=0.5 —
+                                          # the fluid force-candidate rows
+    rp_ref,                               # (tq, 2): rho, p (the state update)
     stage, sem,
     *, cfg: SPHConfig, spec: TripleSpec, n_tiles: int, interpret: bool,
 ):
@@ -211,6 +213,16 @@ def _density_kernel(
     half_inv_h = jnp.float32(0.5) / jnp.float32(cfg.h)
     inv_rho0 = jnp.float32(1.0 / cfg.rho_0)
     tait_b = jnp.float32(cfg.tait_b)
+
+    # The kernel assembles the FLUID force-candidate rows itself (round 4):
+    # geo8 = [x, y, u, v, m, cp, re, a=0.5] is exactly what the force gather
+    # redistributes, so XLA's per-tick column-concat of packed[:, 0:5] with
+    # the EOS outputs (and its broadcast/layout copies — ~0.3 ms/tick in the
+    # round-4 trace) is replaced by one whole-tile VMEM copy here.  Cols 5-7
+    # (stale rho/p and the float id) are overwritten below before the tile
+    # ends: cp/re per block, the constant a-weight per tile.
+    geo8_ref[:, :] = q_ref[:, :]
+    geo8_ref[:, A:A + 1] = jnp.full((spec.tq, 1), 0.5, jnp.float32)
 
     # hoist query columns once per tile ((tq,1) extractions are sublane
     # relayouts; per-block (qb,1) extractions would cost the same EACH)
@@ -251,16 +263,19 @@ def _density_kernel(
             # 0/0 = NaN, killed by the select (NaN never escapes a select on
             # TPU — same argument as the viscosity denominator)
             cpress = jnp.where(rho > 0.0, p / (rho * rho), 0.0)
-            out_ref[qlo:qlo + qb, 0:1] = rho
-            out_ref[qlo:qlo + qb, 1:2] = p
-            out_ref[qlo:qlo + qb, 2:3] = cpress
-            out_ref[qlo:qlo + qb, 3:4] = 0.5 * rho
+            geo8_ref[qlo:qlo + qb, CP:CP + 1] = cpress
+            geo8_ref[qlo:qlo + qb, RE:RE + 1] = 0.5 * rho
+            rp_ref[qlo:qlo + qb, 0:1] = rho
+            rp_ref[qlo:qlo + qb, 1:2] = p
 
         _chunk_dispatch(flen_s[ib, b], n_chunks, body)
 
 
 def density_window_call(q_packed, geo_d, ctx_start, ctx_flen, cfg: SPHConfig,
                         spec: TripleSpec, interpret: bool = False):
+    """Returns (geo8, rp): the (n_layout, 8) fluid force-candidate rows
+    [x, y, u, v, m, cp, re, a=0.5] ready for the force gather, and the
+    (n_layout, 2) [rho, p] state-update columns."""
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
     fl = _pad8(ctx_flen)
@@ -272,7 +287,10 @@ def density_window_call(q_packed, geo_d, ctx_start, ctx_flen, cfg: SPHConfig,
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((spec.tq, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, spec.nqb, 4, spec.cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, spec.nqb)),
@@ -282,7 +300,10 @@ def density_window_call(q_packed, geo_d, ctx_start, ctx_flen, cfg: SPHConfig,
                                n_tiles=n_tiles, interpret=interpret)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((spec.n_layout, 4), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.n_layout, NFIELDS), jnp.float32),
+            jax.ShapeDtypeStruct((spec.n_layout, 2), jnp.float32),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(ws, ws, fl, q_packed, geo_d)
@@ -298,7 +319,7 @@ def _forces_kernel(
     flen_s,                               # (8, nqb) SMEM true fetch lengths
     g_ref,                                # (8, 2) SMEM gravity
     q_ref,                                # (tq, 8)
-    d_ref,                                # (tq, 4) rho, p, cpress, rhoeff
+    d_ref,                                # (tq, 8) geo8: x,y,u,v,m,cp,re,a
     geo_hbm,                              # (8, 2L) x,y,u,v,m~,cp,re,a (dual)
     out_ref,                              # (tq, 2): du_dt, dv_dt
     stage, sem,
@@ -332,8 +353,11 @@ def _forces_kernel(
     qu_t = q_ref[:, U].reshape(spec.tq, 1)
     qv_t = q_ref[:, V].reshape(spec.tq, 1)
     qm_t = q_ref[:, M].reshape(spec.tq, 1)
-    q_rho_t = d_ref[:, 0].reshape(spec.tq, 1)
-    q_press_t = d_ref[:, 2].reshape(spec.tq, 1)  # p/rho^2, precomputed
+    # per-query rho/cp from the density pass's geo8 rows: rho = 2*re is
+    # exact (re = rho/2 is an exact f32 halving and rho ~ 1e3 is never
+    # denormal), cp = p/rho^2 precomputed in the density epilogue
+    q_rho_t = (2.0 * d_ref[:, RE]).reshape(spec.tq, 1)
+    q_press_t = d_ref[:, CP].reshape(spec.tq, 1)
 
     n_chunks = spec.cap // LANE
     for b in range(spec.nqb):
@@ -404,8 +428,10 @@ def _forces_kernel(
         _chunk_dispatch(flen_s[ib, b], n_chunks, body)
 
 
-def forces_window_call(q_packed, dens_out, geo_f, ctx_start, ctx_flen, g,
+def forces_window_call(q_packed, geo8, geo_f, ctx_start, ctx_flen, g,
                        cfg: SPHConfig, spec: TripleSpec, interpret: bool = False):
+    """``geo8`` is the density pass's (n_layout, 8) fluid candidate-row
+    output — the kernel reads the per-query cp/re columns from it."""
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
     fl = _pad8(ctx_flen)
@@ -418,7 +444,7 @@ def forces_window_call(q_packed, dens_out, geo_f, ctx_start, ctx_flen, g,
             # garbage on v5e (round-1 finding)
             pl.BlockSpec((8, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((spec.tq, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((spec.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -435,4 +461,4 @@ def forces_window_call(q_packed, dens_out, geo_f, ctx_start, ctx_flen, g,
         out_shape=jax.ShapeDtypeStruct((spec.n_layout, 2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws, ws, fl, g2, q_packed, dens_out, geo_f)
+    )(ws, ws, fl, g2, q_packed, geo8, geo_f)

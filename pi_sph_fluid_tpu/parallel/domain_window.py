@@ -178,6 +178,7 @@ class WindowDomain:
             [[INERT_X, INERT_X, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]], jnp.float32)
         eng.inert_row_d = jnp.asarray(
             [[INERT_X, INERT_X, 0.0, 0.0]], jnp.float32)
+        eng._zcol = jnp.zeros((self.spec.n_layout, 1), jnp.float32)
         self._eng_template = eng
 
     # ------------------------------------------------------------------

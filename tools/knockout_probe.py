@@ -54,26 +54,28 @@ def tick_variant(no_force=False, no_density=False, no_geo=False,
                 eng.b_geo_d, eng.inert_row_d], axis=0)
             geo_d = eng._expand(geo_d_src[ctx.trip_src].T)
         if no_density:
-            # knocked-out density: run the jnp EOS on the carried rho so the
-            # stage attribution still includes an EOS (the kernel computes
-            # it in-epilogue since round 4)
-            dens = eng._eos(pk[:, 5:6])
+            # knocked-out density: rebuild geo8/rp from the carried rho via
+            # the jnp EOS so the stage attribution still includes an EOS +
+            # row assembly (the kernel does both in-epilogue since round 4)
+            e = eng._eos(pk[:, 5:6])
+            geo8 = jnp.concatenate([pk[:, 0:5], e[:, 2:4], half_col], axis=1)
+            rp = e[:, 0:2]
         else:
-            dens = density_window_call(pk, geo_d, ctx.w_start, ctx.flen,
-                                       cfg, spec)
+            geo8, rp = density_window_call(pk, geo_d, ctx.w_start, ctx.flen,
+                                           cfg, spec)
         if no_eos:
-            dens = dens[:, 0:1] * jnp.ones((1, 4))
+            geo8 = jnp.concatenate(
+                [geo8[:, 0:5], rp[:, 0:1], rp[:, 0:1], half_col], axis=1)
         if no_cpre:
             geo_f = const_geo_f
         else:
-            geo_f_src = jnp.concatenate([
-                jnp.concatenate([pk[:, 0:5], dens[:, 2:4], half_col], axis=1),
-                eng.b_geo, eng.inert_row], axis=0)
+            geo_f_src = jnp.concatenate([geo8, eng.b_geo, eng.inert_row],
+                                        axis=0)
             geo_f = eng._expand(geo_f_src[ctx.trip_src].T)
         if no_force:
-            acc = dens[:, 0:2]
+            acc = rp
         else:
-            acc = forces_window_call(pk, dens, geo_f, ctx.w_start,
+            acc = forces_window_call(pk, geo8, geo_f, ctx.w_start,
                                      ctx.flen, g, cfg, spec)
         # integrate (keeps every stage live across scan iterations)
         dtv = jnp.float32(cfg.dt)
@@ -82,7 +84,7 @@ def tick_variant(no_force=False, no_density=False, no_geo=False,
         x = pk[:, 0] + dtv * u * 0.0
         y = pk[:, 1] + dtv * v * 0.0
         pk = jnp.concatenate([x[:, None], y[:, None], u[:, None], v[:, None],
-                              pk[:, 4:5], dens[:, 0:2], pk[:, 7:8]], axis=1)
+                              pk[:, 4:5], rp, pk[:, 7:8]], axis=1)
         return pk, ()
 
     @jax.jit

@@ -62,13 +62,17 @@ def bucket_of(name: str, category: str, long_name: str) -> str:
     """Bucket a device op by its HLO category + signature.
 
     The pallas kernels surface as custom-calls whose output shape
-    distinguishes them (density returns [n_layout, 1], forces
-    [n_layout, 2]); the candidate redistributions are the 'custom
-    fusion' gathers producing [L, cols]; 'data formatting' is the
-    layout-transpose copies XLA inserts between the gather output and
-    the kernel's expected (VMEM-pinned, minor-dim-0) layout."""
+    distinguishes them (density returns the (geo8, rp) TUPLE since the
+    round-4 epilogue fusion; forces a single [n_layout, 2]); the
+    candidate redistributions are the 'custom fusion' gathers producing
+    [L, cols]; 'data formatting' is the layout-transpose copies XLA
+    inserts between the gather output and the kernel's expected
+    (VMEM-pinned, minor-dim-0) layout."""
     if category == "custom-call":
-        if "f32[" in long_name and ",2]{" in long_name.split("=")[1][:40]:
+        sig = long_name.split("=", 1)[1].lstrip() if "=" in long_name else ""
+        if sig.startswith("("):
+            return "density kernel (pallas)"      # tuple output
+        if "f32[" in sig and ",2]{" in sig[:40]:
             return "forces kernel (pallas)"
         return "density kernel (pallas)"
     if category == "custom fusion":
