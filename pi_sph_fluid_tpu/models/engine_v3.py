@@ -184,9 +184,14 @@ class WindowEngine:
         to build, half the candidate HBM."""
         return a if self.spec.planes == 1 else self._dual(a)
 
-    def _pair_core(self, packed, ctx: TripleCtx, g):
-        """density -> EOS -> forces over one candidate frame; returns
-        (rp (n_layout, 2) = rho/p, acc (n_layout, 2)).
+    def _pair_core(self, packed, ctx: TripleCtx, g,
+                   half_dt: float = 0.0, damp: float = 1.0):
+        """density -> EOS -> forces -> trailing half-kick over one
+        candidate frame; returns (pk_next (n_layout, 8), acc
+        (n_layout, 2)).  pk_next = [x, y, (u + half_dt*au)*damp, (v +
+        half_dt*av)*damp, m, rho, p, id] — the finished state of the
+        tick; the defaults (half_dt=0, damp=1) leave u/v unchanged,
+        which IS the priming pass.
 
         Two gathers per tick — slim (L, 4) density geometry before the
         density pass, full (L, 8) force candidates (with the fresh
@@ -216,14 +221,15 @@ class WindowEngine:
         geo_f_src = jnp.concatenate([geo8, self.b_geo, self.inert_row],
                                     axis=0)
         geo_f = self._expand(geo_f_src[ctx.trip_src].T)     # (8, planes*L)
-        acc = forces_window_call(packed, geo8, geo_f, ctx.w_start, ctx.flen,
-                                 g, cfg, spec, interpret=self.interpret)
-        return rp, acc
+        pk_next, acc = forces_window_call(
+            packed, geo8, rp, geo_f, ctx.w_start, ctx.flen, g, cfg, spec,
+            half_dt=half_dt, damp=damp, interpret=self.interpret)
+        return pk_next, acc
 
-    def _pair_passes(self, packed, ctx: TripleCtx, g):
-        rp, acc = self._pair_core(packed, ctx, g)
-        packed = jnp.concatenate([packed[:, :5], rp, packed[:, 7:8]], axis=1)
-        return packed, acc[:, 0], acc[:, 1]
+    def _pair_passes(self, packed, ctx: TripleCtx, g,
+                     half_dt: float = 0.0, damp: float = 1.0):
+        pk_next, acc = self._pair_core(packed, ctx, g, half_dt, damp)
+        return pk_next, acc[:, 0], acc[:, 1]
 
     def _force_pass(self, packed, g):
         packed, ctx, overflow = self._relayout(packed)
@@ -273,14 +279,15 @@ class WindowEngine:
         (trip_src + per-cell window table) for renderer frame reuse."""
         dt = jnp.float32(self.cfg.dt)
         half_dt = jnp.float32(0.5) * dt
-        damp = jnp.float32(damping)
+        half_f = 0.5 * float(self.cfg.dt)   # static kernel param, same bits
 
         def step(sim: PackedSim, g):
             g = jnp.asarray(g, jnp.float32)
             pk = self._kick_drift(sim, dt, half_dt)
             pk, ctx, overflow = self._relayout(pk)
-            pk, au, av = self._pair_passes(pk, ctx, g)
-            sim = self._finish(pk, au, av, half_dt, damp)
+            pk, au, av = self._pair_passes(pk, ctx, g, half_f,
+                                           float(damping))
+            sim = PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
             return sim, self.stats(sim, overflow), (ctx.trip_src, ctx.T)
 
         return step
@@ -295,11 +302,9 @@ class WindowEngine:
         return jnp.concatenate(
             [x[:, None], y[:, None], u[:, None], v[:, None], pk[:, 4:]], axis=1)
 
-    def _finish(self, pk, au, av, half_dt, damp):
-        u2 = (pk[:, 2] + half_dt * au) * damp
-        v2 = (pk[:, 3] + half_dt * av) * damp
-        pk = jnp.concatenate([pk[:, :2], u2[:, None], v2[:, None], pk[:, 4:]], axis=1)
-        return PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
+    # NOTE: the trailing half-kick lives in the forces kernel epilogue
+    # since round 4 (forces_window_call(half_dt=, damp=) returns the
+    # finished packed state) — there is no XLA-side _finish anymore.
 
     def make_multi_step(self, damping: float = 1.0, resort_every: int = 1,
                         return_frame: bool = False):
@@ -318,7 +323,8 @@ class WindowEngine:
         the same fringe bound as the physics."""
         dt = jnp.float32(self.cfg.dt)
         half_dt = jnp.float32(0.5) * dt
-        damp = jnp.float32(damping)
+        half_f = 0.5 * float(self.cfg.dt)   # static kernel param, same bits
+        damp_f = float(damping)
 
         if resort_every <= 1:
             if return_frame:
@@ -358,8 +364,9 @@ class WindowEngine:
             # Tick 0 computes pairs at exactly these positions (pair passes
             # never move particles), so its stale count is 0 by definition.
             x0, y0, live = pk[:, 0], pk[:, 1], pk[:, 4] > 0
-            pk, au, av = self._pair_passes(pk, ctx, g_group[0])
-            sim = self._finish(pk, au, av, half_dt, damp)
+            pk, au, av = self._pair_passes(pk, ctx, g_group[0], half_f,
+                                           damp_f)
+            sim = PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
             st0 = self.stats(sim, overflow, stale=zero)
 
             # carried ticks as an inner scan: a python-unrolled group keeps
@@ -384,8 +391,8 @@ class WindowEngine:
                 dy = pk[:, 1] - y0
                 stale = jnp.sum(
                     (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
-                pk, au, av = self._pair_passes(pk, ctx, g_j)
-                sim = self._finish(pk, au, av, half_dt, damp)
+                pk, au, av = self._pair_passes(pk, ctx, g_j, half_f, damp_f)
+                sim = PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
                 return sim, stale
 
             sim, stales = jax.lax.scan(carried, sim, g_group[1:])

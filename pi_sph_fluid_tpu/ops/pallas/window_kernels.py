@@ -320,10 +320,14 @@ def _forces_kernel(
     g_ref,                                # (8, 2) SMEM gravity
     q_ref,                                # (tq, 8)
     d_ref,                                # (tq, 8) geo8: x,y,u,v,m,cp,re,a
+    rp_ref,                               # (tq, 2) rho, p (density output)
     geo_hbm,                              # (8, 2L) x,y,u,v,m~,cp,re,a (dual)
+    pk_ref,                               # (tq, 8): the FINISHED next state
+                                          # [x, y, u2, v2, m, rho, p, id]
     out_ref,                              # (tq, 2): du_dt, dv_dt
     stage, sem,
     *, cfg: SPHConfig, spec: TripleSpec, n_tiles: int, interpret: bool,
+    half_dt: float, damp: float,
 ):
     gx = g_ref[0, 0]
     gy = g_ref[0, 1]
@@ -334,6 +338,18 @@ def _forces_kernel(
     slot, cur = _doublebuffer(spec, interpret, n_tiles, i, ib,
                               pairs, w_start, w_start_n)
     _wait_windows(spec, pairs, cur, slot)
+
+    # trailing half-kick fused in-epilogue (round 4): the kernel emits the
+    # finished packed state [x, y, (u + half_dt*au)*damp, ..., m, rho, p,
+    # id] so XLA's per-tick _finish concat + acc column extracts die.  x,
+    # y, m, id ride the whole-tile copy; rho/p come from the density
+    # output; u2/v2 are written per block below.  half_dt = 0, damp = 1
+    # reproduces the priming pass (u unchanged) bitwise.
+    pk_ref[:, :] = q_ref[:, :]
+    pk_ref[:, 5:6] = rp_ref[:, 0:1]
+    pk_ref[:, 6:7] = rp_ref[:, 1:2]
+    half_f = jnp.float32(half_dt)
+    damp_f = jnp.float32(damp)
 
     h = jnp.float32(cfg.h)
     half_inv_h = jnp.float32(0.5) / h
@@ -422,16 +438,25 @@ def _forces_kernel(
             sx = jnp.sum(ax, axis=1, keepdims=True)
             sy = jnp.sum(ay, axis=1, keepdims=True)
             q_valid = qm > 0.0
-            out_ref[qlo:qlo + qb, 0:1] = jnp.where(q_valid, gx + gfac * sx, 0.0)
-            out_ref[qlo:qlo + qb, 1:2] = jnp.where(q_valid, gy + gfac * sy, 0.0)
+            au = jnp.where(q_valid, gx + gfac * sx, 0.0)
+            av = jnp.where(q_valid, gy + gfac * sy, 0.0)
+            out_ref[qlo:qlo + qb, 0:1] = au
+            out_ref[qlo:qlo + qb, 1:2] = av
+            pk_ref[qlo:qlo + qb, 2:3] = (qu + half_f * au) * damp_f
+            pk_ref[qlo:qlo + qb, 3:4] = (qv + half_f * av) * damp_f
 
         _chunk_dispatch(flen_s[ib, b], n_chunks, body)
 
 
-def forces_window_call(q_packed, geo8, geo_f, ctx_start, ctx_flen, g,
-                       cfg: SPHConfig, spec: TripleSpec, interpret: bool = False):
-    """``geo8`` is the density pass's (n_layout, 8) fluid candidate-row
-    output — the kernel reads the per-query cp/re columns from it."""
+def forces_window_call(q_packed, geo8, rp, geo_f, ctx_start, ctx_flen, g,
+                       cfg: SPHConfig, spec: TripleSpec,
+                       half_dt: float = 0.0, damp: float = 1.0,
+                       interpret: bool = False):
+    """``geo8``/``rp`` are the density pass's outputs — the kernel reads
+    per-query cp/re from geo8 and rho/p from rp.  Returns (pk_next, acc):
+    the finished packed state after the trailing half-kick (u2 =
+    (u + half_dt*au)*damp; the defaults reproduce the priming pass, u
+    unchanged) and the accelerations for the next tick's leading kick."""
     n_tiles = spec.n_tiles
     ws = _pad8(ctx_start)
     fl = _pad8(ctx_flen)
@@ -445,20 +470,28 @@ def forces_window_call(q_packed, geo8, geo_f, ctx_start, ctx_flen, g,
             pl.BlockSpec((8, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((spec.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((spec.tq, NFIELDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.tq, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, spec.nqb, NFIELDS, spec.cap), jnp.float32),
             pltpu.SemaphoreType.DMA((2, spec.nqb)),
         ],
     )
     kernel = functools.partial(_forces_kernel, cfg=cfg, spec=spec,
-                               n_tiles=n_tiles, interpret=interpret)
+                               n_tiles=n_tiles, interpret=interpret,
+                               half_dt=float(half_dt), damp=float(damp))
     g2 = jnp.broadcast_to(jnp.asarray(g, jnp.float32), (8, 2))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((spec.n_layout, 2), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((spec.n_layout, NFIELDS), jnp.float32),
+            jax.ShapeDtypeStruct((spec.n_layout, 2), jnp.float32),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws, ws, fl, g2, q_packed, geo8, geo_f)
+    )(ws, ws, fl, g2, q_packed, geo8, rp, geo_f)

@@ -313,19 +313,22 @@ class WindowDomain:
             pk, ctx, ov_w1 = eng._relayout(packed)
             # ghost densities are locally complete for every candidate an
             # owned query can reach (see module docstring), so the force
-            # pass needs no second exchange
-            dens4, acc = eng._pair_core(pk, ctx, g)
-            owner = pk[:, 7] >= 0.0
-            arrays = [pk[:, j] for j in range(8)] \
-                + [dens4[:, 0], dens4[:, 1], acc[:, 0], acc[:, 1]]
-            packed2, lv2, _ = _take_first(owner & (pk[:, 4] > 0), arrays, slab_cap)
-            au = jnp.where(lv2, packed2[10], 0.0)
-            av = jnp.where(lv2, packed2[11], 0.0)
+            # pass needs no second exchange.  _pair_core returns the
+            # FINISHED state (trailing half-kick + damp fused in the
+            # forces kernel epilogue, round 4): cols 2/3 are u2/v2 and
+            # cols 5/6 the fresh rho/p.
+            pk2, acc = eng._pair_core(pk, ctx, g,
+                                      0.5 * float(cfg.dt), float(damping))
+            owner = pk2[:, 7] >= 0.0
+            arrays = [pk2[:, j] for j in range(8)] + [acc[:, 0], acc[:, 1]]
+            packed2, lv2, _ = _take_first(owner & (pk2[:, 4] > 0), arrays,
+                                          slab_cap)
+            au = jnp.where(lv2, packed2[8], 0.0)
+            av = jnp.where(lv2, packed2[9], 0.0)
             fluid = _inert(FluidState(
                 x=packed2[0] + jnp.where(lv2, shift, 0.0), y=packed2[1],
-                u=(packed2[2] + half * au) * damp,
-                v=(packed2[3] + half * av) * damp,
-                m=packed2[4], rho=packed2[8], p=packed2[9]), lv2)
+                u=packed2[2], v=packed2[3],
+                m=packed2[4], rho=packed2[5], p=packed2[6]), lv2)
             ids = jnp.where(lv2, packed2[7].astype(jnp.int32), -1)
             valid = lv2
 
@@ -434,7 +437,8 @@ class WindowDomain:
         inv_cell = jnp.float32(1.0) / cell
         dt = jnp.float32(cfg.dt)
         half = jnp.float32(0.5) * dt
-        damp = jnp.float32(damping)
+        half_f = 0.5 * float(cfg.dt)    # static kernel param, same bits
+        damp_f = float(damping)
         slab_cap, halo_cap = self.slab_cap, self.halo_cap
         n_input = slab_cap + 2 * halo_cap
         OOB = jnp.int32(spec.n_layout + 7)  # dropped by scatter/gather modes
@@ -510,7 +514,8 @@ class WindowDomain:
             # ---- relayout; packed col 5 carries the input-row index so the
             # input -> layout-slot map (inv) can be recovered (cols 5-6 are
             # dead during the group: kernels read rho/p from the density
-            # output, and the group-end pack takes them from dens4)
+            # output, and the group-end pack takes them from the kernel's
+            # finished state)
             packed = self._build_packed(eng, cat, ids_f, shift)
             rowidx_col = jnp.concatenate([
                 jnp.arange(n_input, dtype=jnp.float32),
@@ -537,17 +542,22 @@ class WindowDomain:
             ghost_r = slot_of_input[slab_cap + halo_cap + jnp.arange(halo_cap)]
 
             def pair_passes(pk, g):
-                return eng._pair_core(pk, ctx, g)
+                # returns the FINISHED state (trailing half-kick + damp
+                # fused in the forces kernel epilogue; ghost rows get the
+                # locally-computed — wrong — kick exactly as the old XLA
+                # finish() applied, then the next refresh overwrites them
+                # with the owner's values)
+                return eng._pair_core(pk, ctx, g, half_f, damp_f)
 
-            def tick_stats(pk, dens4, ovf, ov_by=None, stale=None):
+            def tick_stats(pk, rho_col, ovf, ov_by=None, stale=None):
                 rho0 = jnp.float32(cfg.rho_0)
                 q_valid = pk[:, 4] > 0
                 sp2 = pk[:, 2] ** 2 + pk[:, 3] ** 2
-                rho_err = jnp.max(jnp.where(q_valid, dens4[:, 0] - rho0, -rho0))
+                rho_err = jnp.max(jnp.where(q_valid, rho_col[:, 0] - rho0, -rho0))
                 speed2 = jnp.max(jnp.where(q_valid, sp2, 0.0))
                 # non-finite rows scream x1e6 (TPU max drops NaN; see the
                 # per-step stats block above)
-                probe = pk[:, 0] + sp2 + dens4[:, 0]
+                probe = pk[:, 0] + sp2 + rho_col[:, 0]
                 bad = jnp.sum((q_valid & ~jnp.isfinite(probe)).astype(jnp.int32))
                 ovf = ovf.astype(jnp.int32) + \
                     jnp.minimum(bad, 1000) * jnp.int32(1_000_000)
@@ -565,23 +575,13 @@ class WindowDomain:
                     jax.lax.psum(stale, self.axis),
                 )
 
-            def finish(pk, dens4, acc):
-                # cols 5-6 carry fresh rho/p; one concat per tick (column
-                # .at-sets into the lane dimension are a slow path)
-                u2 = (pk[:, 2] + half * acc[:, 0]) * damp
-                v2 = (pk[:, 3] + half * acc[:, 1]) * damp
-                return jnp.concatenate(
-                    [pk[:, 0:2], u2[:, None], v2[:, None], pk[:, 4:5],
-                     dens4[:, 0:2], pk[:, 7:8]], axis=1)
-
             # ---- tick 0 ---------------------------------------------------
-            dens4, acc = pair_passes(pk, g_group[0])
-            pk = finish(pk, dens4, acc)
+            pk, acc = pair_passes(pk, g_group[0])
             ov0 = ov_mig + ov_cap + ov_h + ov_w
             ov_by0 = jnp.stack([
                 ov_w.astype(jnp.int32), ov_h.astype(jnp.int32),
                 ov_mig.astype(jnp.int32), ov_cap.astype(jnp.int32)])
-            st0 = tick_stats(pk, dens4, ov0, ov_by0)
+            st0 = tick_stats(pk, pk[:, 5:6], ov0, ov_by0)
 
             # carried-tick ghost refresh plumbing: whole-row gathers and ONE
             # whole-row scatter.  The round-2 form scattered column slices
@@ -628,8 +628,7 @@ class WindowDomain:
                 dy = pk[:, 1] - y0
                 stale = jnp.sum(
                     (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
-                dens4, acc = pair_passes(pk, g_j)
-                pk = finish(pk, dens4, acc)
+                pk, acc = pair_passes(pk, g_j)
                 return (pk, acc), stale
 
             # Carried ticks return only the LOCAL stale count — stats are
@@ -645,8 +644,9 @@ class WindowDomain:
             (pk, acc), stales_local = jax.lax.scan(carried, (pk, acc),
                                                    g_group[1:])
             stales = jax.lax.psum(stales_local, self.axis)
-            # finish() wrote the last tick's rho into pk col 5, so tick_stats
-            # needs no carried dens4 — a (n, 1) rho column suffices
+            # the fused kernel wrote the last tick's rho into pk col 5, so
+            # tick_stats needs no carried density output — a (n, 1) rho
+            # column suffices
             st_last = tick_stats(pk, pk[:, 5:6], jnp.asarray(0, jnp.int32))
             k1 = g_group.shape[0] - 1
             zf = jnp.zeros((k1,), jnp.float32)

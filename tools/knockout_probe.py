@@ -74,17 +74,15 @@ def tick_variant(no_force=False, no_density=False, no_geo=False,
             geo_f = eng._expand(geo_f_src[ctx.trip_src].T)
         if no_force:
             acc = rp
+            pk = jnp.concatenate([pk[:, 0:5], rp, pk[:, 7:8]], axis=1)
         else:
-            acc = forces_window_call(pk, geo8, geo_f, ctx.w_start,
-                                     ctx.flen, g, cfg, spec)
-        # integrate (keeps every stage live across scan iterations)
-        dtv = jnp.float32(cfg.dt)
-        u = pk[:, 2] + dtv * acc[:, 0] * 1e-6
-        v = pk[:, 3] + dtv * acc[:, 1] * 1e-6
-        x = pk[:, 0] + dtv * u * 0.0
-        y = pk[:, 1] + dtv * v * 0.0
-        pk = jnp.concatenate([x[:, None], y[:, None], u[:, None], v[:, None],
-                              pk[:, 4:5], rp, pk[:, 7:8]], axis=1)
+            # the forces kernel emits the finished state (trailing
+            # half-kick fused in-epilogue since round 4)
+            pk, acc = forces_window_call(pk, geo8, rp, geo_f, ctx.w_start,
+                                         ctx.flen, g, cfg, spec,
+                                         half_dt=0.5 * float(cfg.dt) * 1e-6)
+        # keep every stage live across scan iterations (the 1e-6-scaled
+        # half-kick above perturbs u/v negligibly but defeats CSE)
         return pk, ()
 
     @jax.jit
