@@ -69,12 +69,12 @@ def bucket_of(name: str, category: str, long_name: str) -> str:
     inserts between the gather output and the kernel's expected
     (VMEM-pinned, minor-dim-0) layout."""
     if category == "custom-call":
-        sig = long_name.split("=", 1)[1].lstrip() if "=" in long_name else ""
-        if sig.startswith("("):
-            return "density kernel (pallas)"      # tuple output
-        if "f32[" in sig and ",2]{" in sig[:40]:
-            return "forces kernel (pallas)"
-        return "density kernel (pallas)"
+        # both kernels return (n,8)+(n,2) tuples since the round-4 epilogue
+        # fusions; the density call is the one consuming the slim 4-row
+        # candidate plane (f32[4, 2L]), forces the 8-row plane + gravity
+        if "f32[4," in long_name:
+            return "density kernel (pallas)"
+        return "forces kernel (pallas)"
     if category == "custom fusion":
         return "candidate gather (redistribute)"
     if category in ("data formatting", "copy-done", "copy-start",
