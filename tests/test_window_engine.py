@@ -201,3 +201,57 @@ def test_nonfinite_state_screams_in_stats(scene):
     assert int(eng.stats(sim).neighbor_overflow) == 0
     bad = sim._replace(packed=sim.packed.at[5, 2].set(jnp.nan))
     assert int(eng.stats(bad).neighbor_overflow) >= 1_000_000
+
+
+def test_kernel_epilogue_contract(scene, engine, primed):
+    """The round-4 fused epilogues, pinned against the jnp reference forms.
+
+    density_window_call returns (geo8, rp): geo8 must be the fluid
+    force-candidate rows [x, y, u, v, m, cp, re, a=0.5] — cols 0:5 the
+    query state verbatim, cp/re/a matching engine._eos — and rp the
+    [rho, p] pair.  forces_window_call(half_dt, damp) must return pk_next
+    equal to the old XLA finish: u2 = (u + half_dt*au)*damp with rho/p in
+    cols 5:7 and the id column preserved."""
+    from pi_sph_fluid_tpu.ops.pallas.window_kernels import (
+        density_window_call, forces_window_call)
+
+    cfg = engine.cfg
+    psim, _ = primed
+    pk, ctx, _ = jax.jit(engine._relayout)(psim.packed)
+    zcol = jnp.zeros((pk.shape[0], 1), jnp.float32)
+    geo_d_src = jnp.concatenate([
+        jnp.concatenate([pk[:, 0:2], pk[:, 4:5], zcol], axis=1),
+        engine.b_geo_d, engine.inert_row_d], axis=0)
+    geo_d = engine._expand(geo_d_src[ctx.trip_src].T)
+    geo8, rp = density_window_call(pk, geo_d, ctx.w_start, ctx.flen,
+                                   cfg, engine.spec, interpret=True)
+    geo8, rp = np.asarray(geo8), np.asarray(rp)
+    # cols 0:5 and 7 (id col replaced by the constant a-weight)
+    np.testing.assert_array_equal(geo8[:, 0:5], np.asarray(pk[:, 0:5]))
+    np.testing.assert_array_equal(geo8[:, 7], np.full(pk.shape[0], 0.5))
+    # EOS columns vs the jnp reference (bitwise: same f32 op order)
+    e = np.asarray(engine._eos(jnp.asarray(rp[:, 0:1])))
+    np.testing.assert_array_equal(rp[:, 1], e[:, 1])       # p
+    np.testing.assert_array_equal(geo8[:, 5], e[:, 2])     # cp
+    np.testing.assert_array_equal(geo8[:, 6], e[:, 3])     # re
+
+    # forces: fused trailing half-kick vs the explicit XLA form
+    geo_f_src = jnp.concatenate(
+        [jnp.asarray(geo8), engine.b_geo, engine.inert_row], axis=0)
+    geo_f = engine._expand(geo_f_src[ctx.trip_src].T)
+    half_dt, damp = 0.5 * float(cfg.dt), 0.97
+    pk_next, acc = forces_window_call(
+        pk, jnp.asarray(geo8), jnp.asarray(rp), geo_f, ctx.w_start,
+        ctx.flen, jnp.asarray(G, jnp.float32), cfg, engine.spec,
+        half_dt=half_dt, damp=damp, interpret=True)
+    pk_next, acc = np.asarray(pk_next), np.asarray(acc)
+    pk_np = np.asarray(pk, np.float32)
+    u2 = (pk_np[:, 2] + np.float32(half_dt) * acc[:, 0]) * np.float32(damp)
+    v2 = (pk_np[:, 3] + np.float32(half_dt) * acc[:, 1]) * np.float32(damp)
+    np.testing.assert_array_equal(pk_next[:, 0:2], pk_np[:, 0:2])  # x, y
+    np.testing.assert_allclose(pk_next[:, 2], u2, rtol=0, atol=0)
+    np.testing.assert_allclose(pk_next[:, 3], v2, rtol=0, atol=0)
+    np.testing.assert_array_equal(pk_next[:, 4], pk_np[:, 4])      # m
+    np.testing.assert_array_equal(pk_next[:, 5], rp[:, 0])         # rho
+    np.testing.assert_array_equal(pk_next[:, 6], rp[:, 1])         # p
+    np.testing.assert_array_equal(pk_next[:, 7], pk_np[:, 7])      # id
