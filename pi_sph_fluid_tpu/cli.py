@@ -100,9 +100,34 @@ def _make_sink(args, shape: tuple[int, int]):
     raise SystemExit(f"unknown display {args.display!r}")
 
 
+def _maybe_init_distributed(args):
+    """Multi-host (DCN) launch: join the cross-process JAX runtime before
+    the first backend touch (SURVEY §5 distributed row; the pod recipe is
+    in parallel/launch.py).  On processes > 0 the display and report
+    stream are silenced — every host runs the same sim, host 0 owns I/O."""
+    if getattr(args, "num_processes", 1) and args.num_processes > 1:
+        if args.coordinator is None:
+            raise SystemExit("--num-processes > 1 needs --coordinator "
+                             "HOST:PORT (process 0's address)")
+        if args.process_id is None:
+            raise SystemExit("--num-processes > 1 needs --process-id")
+        from .parallel.launch import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+        if args.process_id > 0:
+            if getattr(args, "display", None) not in (None, "none"):
+                print(f"process {args.process_id}: display -> none "
+                      f"(host 0 owns I/O)", file=sys.stderr)
+                args.display = "none"
+            return False   # not the I/O owner
+    return True
+
+
 def cmd_run(args):
     from .io.host_loop import SimRunner
 
+    io_owner = _maybe_init_distributed(args)
     cfg, fluid, braw = _make_scene(args)
     loaded = None
     if args.load_state:
@@ -124,7 +149,8 @@ def cmd_run(args):
                        render_shape=render_shape,
                        resort_every=args.resort_every,
                        auto_cap=not args.no_auto_cap,
-                       max_cap=args.max_cap)
+                       max_cap=args.max_cap,
+                       max_resort=args.max_resort or None)
     sink = _make_sink(args, render_shape)
     gravity = _make_gravity(args, cfg, sink)
     # Lossless pallas resume: a re-prime from the id-ordered fluid view
@@ -152,7 +178,8 @@ def cmd_run(args):
         result = runner.run(
             gravity, sink, sim_seconds=args.seconds, realtime=args.realtime,
             steps_per_dispatch=args.steps_per_dispatch,
-            report_stream=sys.stderr, settle_seconds=args.settle_seconds,
+            report_stream=sys.stderr if io_owner else None,
+            settle_seconds=args.settle_seconds,
             resume=resume,
         )
     finally:
@@ -193,6 +220,8 @@ def cmd_bench(args):
     from .io.gravity import ConstantGravity
     from .io.host_loop import SimRunner
 
+    io_owner = _maybe_init_distributed(args)
+
     # size the pool scene to ~n particles (fill area ~6.35 m^2 at the
     # default 4x2 domain; the pool is the layout's design point)
     r = math.sqrt(6.35 / args.n)
@@ -228,7 +257,19 @@ def cmd_bench(args):
         "neighbor_overflow": result.reporter.total_overflow,
         "stale_drift": result.reporter.total_stale,
     }
-    print(json.dumps(out))
+    if io_owner:
+        print(json.dumps(out))
+
+
+def _add_distributed_args(p):
+    """Multi-host (DCN) launch flags — see parallel/launch.py for the pod
+    recipe.  Single-host runs leave them at their defaults."""
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="process 0's coordinator address (multi-host runs)")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="total hosts in the run (jax.distributed)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's index, 0..num-processes-1")
 
 
 def main(argv=None):
@@ -236,6 +277,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     rp = sub.add_parser("run", help="interactive simulation")
+    _add_distributed_args(rp)
     rp.add_argument("--scene", default="drop", choices=["drop", "dam", "pool"])
     rp.add_argument("--r", type=float, default=0.075, help="particle spacing (m)")
     rp.add_argument("--dt-factor", type=float, default=1.0,
@@ -293,6 +335,13 @@ def main(argv=None):
                          "the runner halves k and replays on a trip — so "
                          "the default 8 is exact-or-downgraded, never "
                          "silently lossy.  1 = exact per-step relayout")
+    rp.add_argument("--max-resort", type=int, default=64,
+                    help="upward resort ladder ceiling: after 2 clean "
+                         "report intervals the runner doubles resort_every "
+                         "up to this value (the guard certifies any period "
+                         "while stale reads 0; a trip halves it and pins "
+                         "the ceiling below the tripped period).  0 = off; "
+                         "ignored under --realtime (raising recompiles)")
     rp.add_argument("--save-state", default=None, metavar="F.npz",
                     help="checkpoint the final fluid state")
     rp.add_argument("--load-state", default=None, metavar="F.npz",
@@ -301,6 +350,7 @@ def main(argv=None):
     rp.set_defaults(fn=cmd_run)
 
     bp = sub.add_parser("bench", help="headless throughput benchmark")
+    _add_distributed_args(bp)
     bp.add_argument("--n", type=int, default=1_000_000, help="target particle count")
     bp.add_argument("--steps", type=int, default=200)
     bp.add_argument("--backend", default="pallas",

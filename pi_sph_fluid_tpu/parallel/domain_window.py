@@ -158,9 +158,19 @@ class WindowDomain:
             counts = np.bincount(lcell, minlength=n_lcells)
             b_csr[dev, 1:] = np.cumsum(counts)
         sh = NamedSharding(mesh, P(axis))
-        self.b_geo_sh = jax.device_put(b_geo.reshape(d * nb_cap, 8), sh)
-        self.b_geo_d_sh = jax.device_put(b_geo_d.reshape(d * nb_cap, 4), sh)
-        self.b_csr_sh = jax.device_put(b_csr.reshape(d * (n_lcells + 1)), sh)
+        # multi-process meshes: a global device_put array cannot be CLOSED
+        # OVER by the caller-jitted step functions (JAX forbids capturing
+        # arrays that span non-addressable devices) — keep the static
+        # boundary tables as host numpy instead; they enter the jit as
+        # replicated constants and shard_map's in_specs slice them per
+        # device (a few hundred KB at most, identical on every host).
+        # Single-process keeps the device-resident fast path.
+        self._multiprocess = jax.process_count() > 1
+        _put = (lambda a: a) if self._multiprocess else \
+            (lambda a: jax.device_put(a, sh))
+        self.b_geo_sh = _put(b_geo.reshape(d * nb_cap, 8))
+        self.b_geo_d_sh = _put(b_geo_d.reshape(d * nb_cap, 4))
+        self.b_csr_sh = _put(b_csr.reshape(d * (n_lcells + 1)))
 
         # engine template: spec + methods; per-trace copies get the traced
         # per-device boundary arrays patched in (engine methods consume them
@@ -768,12 +778,17 @@ class WindowDomain:
             cl_all[dev, :nb] = lay["c_last"]
             hq_all[dev, :nb] = lay["has_q"]
             unsort[sel] = dev * n_layout + lay["slots"]
+        # same closure rule as the boundary tables: host numpy constants on
+        # multi-process meshes, device-resident otherwise
         sh = NamedSharding(self.mesh, P(self.axis))
-        q_sh = jax.device_put(q_all.reshape(d * n_layout, 8), sh)
-        cf_sh = jax.device_put(cf_all.reshape(-1), sh)
-        cl_sh = jax.device_put(cl_all.reshape(-1), sh)
-        hq_sh = jax.device_put(hq_all.reshape(-1), sh)
-        unsort_j = jnp.asarray(unsort.astype(np.int32))
+        _put = (lambda a: a) if self._multiprocess else \
+            (lambda a: jax.device_put(a, sh))
+        q_sh = _put(q_all.reshape(d * n_layout, 8))
+        cf_sh = _put(cf_all.reshape(-1))
+        cl_sh = _put(cl_all.reshape(-1))
+        hq_sh = _put(hq_all.reshape(-1))
+        unsort_j = (unsort.astype(np.int32) if self._multiprocess
+                    else jnp.asarray(unsort.astype(np.int32)))
 
         # candidate spec over the local fluid rows (slab + both halos)
         n_input = slab_cap + 2 * halo_cap
@@ -848,25 +863,33 @@ class WindowDomain:
 
     # ------------------------------------------------------------------
     def gather(self, state: DomainState) -> FluidState:
-        """Collect the global fluid state in original id order (host-side)."""
-        ids = np.asarray(state.ids)
+        """Collect the global fluid state in original id order (host-side).
+        Multi-process meshes all-gather the slab arrays over DCN first
+        (parallel.launch.to_host), so the same call works on a pod."""
+        from .launch import to_host
+
+        ids = to_host(state.ids)
         sel = ids >= 0
         order = np.argsort(ids[sel])
         return FluidState(*(
-            jnp.asarray(np.asarray(f)[sel][order]) for f in state.fluid
+            jnp.asarray(to_host(f)[sel][order]) for f in state.fluid
         ))
 
     def export(self, state: DomainState):
         """(fluid, au, av) in original id order — a LOSSLESS host-side
         checkpoint including the leapfrog acceleration carry.  Feed back
         through ``init(fluid, au, av)`` (of this domain or a rebuilt one
-        with different capacities) to resume bit-exactly."""
-        ids = np.asarray(state.ids)
+        with different capacities) to resume bit-exactly.  Multi-process
+        meshes all-gather over DCN (every process returns the full
+        checkpoint — the revert path needs it on every host)."""
+        from .launch import to_host
+
+        ids = to_host(state.ids)
         sel = ids >= 0
         order = np.argsort(ids[sel])
         fl = FluidState(*(
-            jnp.asarray(np.asarray(f)[sel][order]) for f in state.fluid
+            jnp.asarray(to_host(f)[sel][order]) for f in state.fluid
         ))
-        au = np.asarray(state.au)[sel][order]
-        av = np.asarray(state.av)[sel][order]
+        au = to_host(state.au)[sel][order]
+        av = to_host(state.av)[sel][order]
         return fl, au, av
