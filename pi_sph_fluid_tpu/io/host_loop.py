@@ -73,6 +73,8 @@ class SimRunner:
         resort_every: int = 1,
         auto_cap: bool = True,
         max_cap: int = 1024,
+        max_resort: int | None = None,
+        raise_after: int = 2,
     ):
         if resort_every < 1:
             raise ValueError(f"resort_every must be >= 1, got {resort_every}")
@@ -95,6 +97,19 @@ class SimRunner:
         # thousand steps on the 100k dam scene.
         self.auto_cap = auto_cap and backend in ("pallas", "pallas-dd")
         self.max_cap = max_cap
+        # upward resort ladder (round 5): the drift guard is drift-based —
+        # a zero stale count certifies exactness at ANY sticky period
+        # (measured r8/16/32/64 all stale=0 on the settled pool AND through
+        # the dam-break surge) — so after ``raise_after`` consecutive clean
+        # report intervals the runner DOUBLES resort_every up to
+        # ``max_resort``, amortizing the relayout further (+4% measured at
+        # r32 over r16).  The existing trip downgrade still halves it, and
+        # a trip lowers the ceiling below the period that tripped so the
+        # ladder cannot ping-pong.  Off when max_resort is None.
+        self._max_resort = (max_resort
+                            if backend in ("pallas", "pallas-dd") else None)
+        self._raise_after = max(1, int(raise_after))
+        self._resort_ceiling = max_resort or 0
 
         self._bgrid = bgrid
         self._fluid_init = fluid
@@ -468,6 +483,7 @@ class SimRunner:
         # under the old cap too — revert-to-start must redo them
         g_log: list = []
         replay_pos = 0
+        clean_streak = 0   # consecutive clean report intervals (resort ladder)
         t0 = time.perf_counter()
         t_mono0 = time.monotonic()
         sim_t = 0.0
@@ -569,6 +585,7 @@ class SimRunner:
                     replay_pos = 0
                     pending_frame = None
                     recoveries += 1
+                    clean_streak = 0
                     t_mono0 = time.monotonic() - sim_t
                     continue
                 if reporter.total_stale > 0 and self._resort > 1:
@@ -587,6 +604,11 @@ class SimRunner:
                               f"reverting to t={ck_t:.2f}s and replaying",
                               file=report_stream, flush=True)
                     self._resort = new_resort
+                    # a period that tripped must never be re-entered by the
+                    # upward ladder: pin its ceiling one rung below
+                    self._resort_ceiling = min(self._resort_ceiling,
+                                               new_resort)
+                    clean_streak = 0
                     if self.backend == "pallas":
                         self._build_pallas()
                     else:
@@ -609,6 +631,29 @@ class SimRunner:
                     # must come from the log, not a fresh trace() call
                     g_log = g_log[replay_pos:]
                     replay_pos = 0
+                    clean_streak += 1
+                    # upward resort ladder: the guard read 0 for
+                    # raise_after consecutive intervals, so a longer sticky
+                    # period is certified-until-tripped.  Raising recompiles
+                    # (so not under realtime pacing) and needs the dispatch
+                    # length to stay a whole number of groups.
+                    if (self._max_resort and not realtime
+                            and self._resort > 1
+                            and clean_streak >= self._raise_after
+                            and i < n_dispatch):
+                        new_r = self._resort * 2
+                        if new_r <= self._resort_ceiling and k % new_r == 0:
+                            if report_stream is not None:
+                                print(f"RESORT LADDER: {clean_streak} clean "
+                                      f"intervals; resort_every "
+                                      f"{self._resort} -> {new_r}",
+                                      file=report_stream, flush=True)
+                            self._resort = new_r
+                            clean_streak = 0
+                            if self.backend == "pallas":
+                                self._build_pallas()
+                            else:
+                                self._build_dd()
             if realtime:
                 # precise pacing to the sim-time deadline (the reference's
                 # REALTIME spin-wait, `pi_sph_fluid.c:694-701`, as a

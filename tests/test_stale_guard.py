@@ -112,6 +112,50 @@ def test_dd_sticky_guard_trips(scene):
     assert int(st["n_valid"][-1]) == fluid.n
 
 
+def test_runner_raises_resort_when_clean(scene):
+    """Upward resort ladder (round 5): on a quiet flow the runner doubles
+    resort_every after ``raise_after`` consecutive clean report intervals,
+    up to max_resort, and the final run must still show stale == 0."""
+    cfg, fluid, boundary, bgrid = scene
+    stream = io.StringIO()
+    _, braw = build_drop_scene(cfg)
+    runner = SimRunner(cfg, fluid, braw, backend="pallas",
+                       engine_opts=dict(KW), render=False, resort_every=2,
+                       max_resort=8, raise_after=1)
+    # k = 16 steps/dispatch divides every rung (2 -> 4 -> 8); 8 report
+    # intervals give the ladder room to climb to the ceiling
+    result = runner.run(ConstantGravity(cfg), sim_seconds=0.032,
+                        steps_per_dispatch=16,
+                        report_stream=stream, report_every=0.004)
+    out = stream.getvalue()
+    assert "RESORT LADDER" in out
+    assert runner._resort == 8          # climbed 2 -> 4 -> 8, capped
+    assert result.reporter.total_stale == 0
+    assert result.recoveries == 0       # raises are not recoveries
+
+
+def test_ladder_ceiling_pinned_below_tripped_period(scene):
+    """A stale trip must pin the upward ceiling below the tripped period —
+    the ladder may not climb back into a period the guard rejected."""
+    cfg, fluid, boundary, bgrid = scene
+    fast = _with_fast_particle(fluid, 60.0)
+    stream = io.StringIO()
+    _, braw = build_drop_scene(cfg)
+    runner = SimRunner(cfg, fast, braw, backend="pallas",
+                       engine_opts=dict(KW), render=False, resort_every=8,
+                       max_resort=16, raise_after=1)
+    result = runner.run(ConstantGravity(cfg), sim_seconds=0.04,
+                        steps_per_dispatch=16,
+                        report_stream=stream, report_every=0.004)
+    out = stream.getvalue()
+    assert "STALE DRIFT" in out
+    # 60 m/s trips 8 and 4; 2 is quiet (one carried tick = 0.15*H).  The
+    # ceiling after the 8- and 4-trips is 2, so no raise may re-enter 4+.
+    assert runner._resort == 2
+    assert runner._resort_ceiling == 2
+    assert result.reporter.total_stale == 0
+
+
 def test_runner_downgrades_resort_on_stale(scene):
     cfg, fluid, boundary, bgrid = scene
     fast = _with_fast_particle(fluid, 60.0)
