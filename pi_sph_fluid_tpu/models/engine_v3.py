@@ -437,6 +437,92 @@ class WindowEngine:
 
         return multi_step
 
+    def make_multi_step_concatfree(self, resort_every: int = 8,
+                                   damping: float = 1.0):
+        """PROBE variant (round 5, VERDICT r4 #8): kick-drift with NO
+        column extracts and NO concat.  The shipped carried tick slices
+        pk into flat columns, integrates, and concatenates back — the
+        round-4 trace charged ~0.39 ms/tick of (n, 1) column transposes
+        plus concat glue to that dance.  Here the integration runs on the
+        whole (n, 8) array via zero-pads:
+
+            pk1 = pk + pad(half_dt * acc  -> cols 2:4)   # leading kick
+            pk2 = pk1 + pad(dt * pk1[:, 2:4] -> cols 0:2)  # drift
+
+        and the carry is (pk, acc (n, 2)) — the forces kernel's outputs
+        verbatim, so the au/av column splits die too.  The stale guard
+        reduces (dp*dp) over a lane mask instead of extracting columns.
+        Physics is ulp-equivalent, not bitwise: the drift add no longer
+        fuses into an fma with the kick (measured max |d| 5.6e-9 over 8
+        drop-scene steps — pure FP reassociation, the same class as the
+        round-4 kick fusion).  Measured A/B lives in ROOFLINE §2; the
+        shipped path stays unless this wins on hardware."""
+        dt = jnp.float32(self.cfg.dt)
+        half_dt = jnp.float32(0.5) * dt
+        half_f = 0.5 * float(self.cfg.dt)
+        damp_f = float(damping)
+        assert resort_every > 1, "probe covers the sticky path"
+        zero = jnp.asarray(0, jnp.int32)
+        margin2 = jnp.float32((0.3 * self.cfg.h) ** 2)
+        xy_mask = jnp.asarray([1, 1, 0, 0, 0, 0, 0, 0], jnp.float32)
+
+        def kick_drift(pk, acc):
+            pk1 = pk + jnp.pad(half_dt * acc, ((0, 0), (2, 4)))
+            return pk1 + jnp.pad(dt * pk1[:, 2:4], ((0, 0), (0, 6)))
+
+        def group(carry, g_group):
+            pk, acc = carry
+            pk = kick_drift(pk, acc)
+            pk, ctx, overflow = self._relayout(pk)
+            pk0 = pk               # layout-time state: the stale datum
+            live = pk[:, 4] > 0
+            pk, acc = self._pair_core(pk, ctx, g_group[0], half_f, damp_f)
+            sim0 = PackedSim(packed=pk, ids=self._ids(pk),
+                             au=acc[:, 0], av=acc[:, 1])
+            st0 = self.stats(sim0, overflow, stale=zero)
+
+            def carried(c, g_j):
+                pk, acc = c
+                pk = kick_drift(pk, acc)
+                dp = pk - pk0
+                d2 = jnp.sum((dp * dp) * xy_mask, axis=1)
+                stale = jnp.sum((live & (d2 > margin2)).astype(jnp.int32))
+                pk, acc = self._pair_core(pk, ctx, g_j, half_f, damp_f)
+                return (pk, acc), stale
+
+            (pk, acc), stales = jax.lax.scan(carried, (pk, acc), g_group[1:])
+            sim_l = PackedSim(packed=pk, ids=self._ids(pk),
+                              au=acc[:, 0], av=acc[:, 1])
+            st_last = self.stats(sim_l, zero, stale=stales[-1])
+            k1 = resort_every - 1
+            st_rest = StepStats(
+                max_rho_error_pct=jnp.zeros((k1,), jnp.float32)
+                    .at[-1].set(st_last.max_rho_error_pct),
+                max_speed=jnp.zeros((k1,), jnp.float32)
+                    .at[-1].set(st_last.max_speed),
+                neighbor_overflow=jnp.zeros((k1,), jnp.int32)
+                    .at[-1].set(st_last.neighbor_overflow),
+                stale=stales,
+            )
+            stats = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b]), st0, st_rest)
+            return (pk, acc), stats
+
+        def multi_step(sim: PackedSim, g_trace):
+            g_trace = jnp.asarray(g_trace, jnp.float32)
+            k = g_trace.shape[0]
+            assert k % resort_every == 0
+            groups = g_trace.reshape(k // resort_every, resort_every, 2)
+            acc = jnp.stack([sim.au, sim.av], axis=1)
+            (pk, acc), stats = jax.lax.scan(group, (sim.packed, acc), groups)
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape(k, *a.shape[2:]), stats)
+            sim = PackedSim(packed=pk, ids=self._ids(pk),
+                            au=acc[:, 0], av=acc[:, 1])
+            return sim, flat
+
+        return multi_step
+
     def _empty_frame(self):
         """Zero-valued frame context (trip_src, T) as the scan-carry seed
         for ``return_frame`` — overwritten by the first tick/group."""

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--resorts", type=str, default="1,4")
     ap.add_argument("--pieces", action="store_true")
+    ap.add_argument("--concatfree", action="store_true",
+                    help="probe: pad-form kick-drift with (pk, acc) "
+                         "carries — no column extracts, no concat "
+                         "(engine_v3.make_multi_step_concatfree)")
     args = ap.parse_args()
 
     r = math.sqrt(6.35 / args.n)
@@ -62,7 +66,11 @@ def main():
         print(f"full step:  {timeit(lambda s: step(s, g)[0].packed, sim):7.3f} ms")
 
     for resort in (int(x) for x in args.resorts.split(",")):
-        multi = jax.jit(eng.make_multi_step(resort_every=resort))
+        if args.concatfree and resort > 1:
+            multi = jax.jit(eng.make_multi_step_concatfree(
+                resort_every=resort))
+        else:
+            multi = jax.jit(eng.make_multi_step(resort_every=resort))
         # round up to a whole group (resort<=1 is the exact per-step path)
         steps = args.steps if resort <= 1 else -(-args.steps // resort) * resort
         gt = jnp.broadcast_to(g, (steps, 2))
