@@ -106,32 +106,89 @@ def test_density_parity_at_3k_2000(golden, trajectory):
 
 def test_window_engine_trajectory_parity_at_3k(golden):
     """The PRODUCTION engine (WindowEngine, interpret mode) vs the C
-    golden at 3k — 500 steps with the step-500 gates from
-    test_trajectory_parity_at_3k.  Round 3's parity chain went
-    engine~=oracle (small scenes + 100k on HW) and oracle~=C (here, 2000
-    steps); this closes it end-to-end on the shipping engine (VERDICT r3
-    weak #5).  Reference: the drop loop `pi_sph_fluid.c:604-644`."""
+    golden at 3k — the FULL 2000-step fixture with the same per-step
+    gates as the oracle's test_trajectory_parity_at_3k (round 5 extended
+    this from step 500: warm interpret steps cost ~10 ms each, so the
+    whole fixture is ~20 s of stepping — VERDICT r4 #7a).  Round 3's
+    parity chain went engine~=oracle and oracle~=C; this gates the
+    shipping engine against the C trajectory end-to-end.  Reference: the
+    drop loop `pi_sph_fluid.c:604-644`."""
     from pi_sph_fluid_tpu.models.engine_v3 import WindowEngine
 
     fluid, braw = build_drop_scene(CFG)
     boundary, bgrid = prepare_boundary(braw, CFG)
-    eng = WindowEngine(CFG, boundary, bgrid, fluid.n, interpret=True)
+    # cap=384: the 256 default overflows by 16 lanes late in this fine-
+    # resolution fall (sparse free-surface blocks — the CLI run default is
+    # 384 for exactly this, and elastic recovery would grow it); parity
+    # needs the window cap clear of the physics
+    eng = WindowEngine(CFG, boundary, bgrid, fluid.n, cap=384,
+                       interpret=True)
     sim = eng.prime(fluid, G)
     multi = jax.jit(eng.make_multi_step())
     g100 = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (100, 2))
+    gates = {500: (3e-6, 5e-4), 1000: (1e-5, 5e-4), 2000: (5e-5, 2e-3)}
     worst_ov = 0
-    for _ in range(5):
+    for k in range(1, 21):
         sim, st = multi(sim, g100)
         worst_ov = max(worst_ov, int(jnp.max(st.neighbor_overflow)))
+        step = k * 100
+        if step not in gates:
+            continue
+        pos_tol, vel_tol = gates[step]
+        ours = eng.unpad(sim)      # id order — the golden's ordering
+        gs = golden["states"][k]
+        assert int(golden["steps"][k]) == step
+        np.testing.assert_allclose(np.asarray(ours.x), gs[:, 0], atol=pos_tol)
+        np.testing.assert_allclose(np.asarray(ours.y), gs[:, 1], atol=pos_tol)
+        np.testing.assert_allclose(np.asarray(ours.u), gs[:, 2], atol=vel_tol)
+        np.testing.assert_allclose(np.asarray(ours.v), gs[:, 3], atol=vel_tol)
+        np.testing.assert_allclose(np.asarray(ours.rho), gs[:, 5], rtol=3e-4)
     assert worst_ov == 0
-    ours = eng.unpad(sim)          # id order — the golden's ordering
-    gs = golden["states"][5]
-    assert int(golden["steps"][5]) == 500
-    np.testing.assert_allclose(np.asarray(ours.x), gs[:, 0], atol=3e-6)
-    np.testing.assert_allclose(np.asarray(ours.y), gs[:, 1], atol=3e-6)
-    np.testing.assert_allclose(np.asarray(ours.u), gs[:, 2], atol=5e-4)
-    np.testing.assert_allclose(np.asarray(ours.v), gs[:, 3], atol=5e-4)
-    np.testing.assert_allclose(np.asarray(ours.rho), gs[:, 5], rtol=3e-4)
+
+
+def test_dd_trajectory_parity_at_3k(golden):
+    """The DISTRIBUTED backend (WindowDomain, 4 virtual slabs, interpret)
+    directly vs the C golden — 200 steps.  Before round 5, dd parity was
+    transitive (dd == single-engine at small scenes, engine == C here);
+    this gates the dd pipeline — migration, halo exchange, per-slab
+    relayout, ghost densities — against the C trajectory itself (VERDICT
+    r4 #7b).  Reference: the drop loop `pi_sph_fluid.c:604-644` + the
+    parallelism row `pi_sph_fluid.c:610`.
+
+    Measured divergence (2026-08-19, this exact configuration): step 100
+    pos <= 9.1e-6 / vel <= 1.2e-3 / rho rel <= 2.9e-4; step 200 pos <=
+    1.7e-5 / vel <= 8.7e-4 / rho rel <= 3.8e-4.  dd drifts from the C sum
+    order faster than the single-chip engine (which gates 3e-6 at step
+    500): ghost densities are *recomputed locally* at slab borders and
+    per-slab windows reorder the pair sums, an ulp-scale perturbation the
+    dynamics amplify per step exactly like any FP reassociation.  Gates
+    carry ~3x headroom over the measured values, same policy as
+    test_parity.py."""
+    from jax.sharding import Mesh
+
+    from pi_sph_fluid_tpu.parallel.domain_window import WindowDomain
+
+    fluid, braw = build_drop_scene(CFG)
+    boundary, bgrid = prepare_boundary(braw, CFG)
+    devs = jax.devices()
+    assert len(devs) >= 4, "conftest provides 8 virtual CPU devices"
+    dd = WindowDomain(CFG, boundary, bgrid, fluid.n,
+                      Mesh(np.asarray(devs[:4]), ("x",)), interpret=True)
+    state = dd.init(fluid)
+    multi = jax.jit(dd.make_multi_step())
+    g100 = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (100, 2))
+    for _ in range(2):
+        state, st = multi(state, g100)
+        assert int(np.max(np.asarray(st["overflow"]))) == 0
+        assert int(np.asarray(st["n_valid"])[-1]) == fluid.n
+    ours = dd.gather(state)        # id order — the golden's ordering
+    gs = golden["states"][2]
+    assert int(golden["steps"][2]) == 200
+    np.testing.assert_allclose(np.asarray(ours.x), gs[:, 0], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ours.y), gs[:, 1], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ours.u), gs[:, 2], atol=3e-3)
+    np.testing.assert_allclose(np.asarray(ours.v), gs[:, 3], atol=3e-3)
+    np.testing.assert_allclose(np.asarray(ours.rho), gs[:, 5], rtol=1e-3)
 
 
 def test_framebuffer_parity_at_3k(golden):
