@@ -375,28 +375,39 @@ class WindowEngine:
             # the whole-step scan form reuses one tick's worth).
             #
             # Stats are SAMPLED on sticky groups (round 4): the max-rho /
-            # max-speed / non-finite reductions run on the fresh tick and
+            # max-speed / non-finite REDUCTIONS run on the fresh tick and
             # the group's final tick only — the round-4 device trace put
             # the per-tick stats fusion at ~0.28 ms/tick (~5%), and the
-            # reporter maxes over report intervals anyway, so interior
-            # ticks contribute 0 to maxes that physics cannot swing in
-            # <= k-1 ticks of dt.  The counted loss channels keep their
+            # reporter maxes over report intervals anyway.  Carried ticks
+            # DO fold their rho/speed into per-particle running maxima
+            # (two elementwise maxes, no reduction — ADVICE r4: in-group
+            # transient spikes must not vanish from worst-case tracking),
+            # so the final tick's sampled stats report the GROUP max, not
+            # the final-tick value.  The counted loss channels keep their
             # guarantees: window overflow only arises on the fresh tick's
             # relayout, the STALE drift guard runs on EVERY carried tick,
             # and a non-finite state persists, so the scream is delayed at
             # most k-1 ticks and the run's final tick is always sampled.
-            def carried(sim, g_j):
+            rho_hi = jnp.where(live, pk[:, 5], 0.0)
+            sp2_hi = pk[:, 2] ** 2 + pk[:, 3] ** 2   # pads carry u = v = 0
+
+            def carried(carry, g_j):
+                sim, rho_hi, sp2_hi = carry
                 pk = self._kick_drift(sim, dt, half_dt)
                 dx = pk[:, 0] - x0
                 dy = pk[:, 1] - y0
                 stale = jnp.sum(
                     (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
                 pk, au, av = self._pair_passes(pk, ctx, g_j, half_f, damp_f)
+                rho_hi = jnp.maximum(rho_hi, jnp.where(live, pk[:, 5], 0.0))
+                sp2_hi = jnp.maximum(sp2_hi, pk[:, 2] ** 2 + pk[:, 3] ** 2)
                 sim = PackedSim(packed=pk, ids=self._ids(pk), au=au, av=av)
-                return sim, stale
+                return (sim, rho_hi, sp2_hi), stale
 
-            sim, stales = jax.lax.scan(carried, sim, g_group[1:])
-            st_last = self.stats(sim, zero, stale=stales[-1])
+            (sim, rho_hi, sp2_hi), stales = jax.lax.scan(
+                carried, (sim, rho_hi, sp2_hi), g_group[1:])
+            st_last = self.stats(sim, zero, stale=stales[-1],
+                                 rho_hi=rho_hi, sp2_hi=sp2_hi)
             k1 = resort_every - 1
             st_rest = StepStats(
                 max_rho_error_pct=jnp.zeros((k1,), jnp.float32)
@@ -530,18 +541,29 @@ class WindowEngine:
                 jnp.zeros((self.cfg.n_cells + 1, 8), jnp.int32))
 
     # ------------------------------------------------------------------
-    def stats(self, sim: PackedSim, overflow=None, stale=None) -> StepStats:
+    def stats(self, sim: PackedSim, overflow=None, stale=None,
+              rho_hi=None, sp2_hi=None) -> StepStats:
         """Non-finite real rows fold into the overflow scream (x1e6): TPU
         max-reductions silently DROP NaN operands, so a NaN'd state would
         otherwise print healthy max stats (observed on v5e — a degenerated
-        state reported 0.000% rho error while fully NaN)."""
+        state reported 0.000% rho error while fully NaN).
+
+        ``rho_hi``/``sp2_hi``: optional per-particle running maxima (pads
+        zeroed) replacing the state's own rho/speed in the max reductions —
+        the sticky-group sampled tick passes the group-wide elementwise
+        maxima so interior-tick transients reach the reporter's worst-case
+        tracking (ADVICE r4).  The non-finite probe always reads the
+        current state (NaN persists; running maxima DROP NaN on TPU)."""
         rho0 = jnp.float32(self.cfg.rho_0)
         m = sim.packed[:, 4]
         rho = sim.packed[:, 5]
-        max_rho_error = jnp.max(jnp.where(m > 0, rho, 0.0) - rho0)
+        rho_m = jnp.where(m > 0, rho, 0.0) if rho_hi is None else rho_hi
+        max_rho_error = jnp.max(rho_m - rho0)
         speed2 = sim.packed[:, 2] ** 2 + sim.packed[:, 3] ** 2
         probe = sim.packed[:, 0] + speed2 + rho        # NaN/inf propagates
         bad = jnp.sum(((m > 0) & ~jnp.isfinite(probe)).astype(jnp.int32))
+        if sp2_hi is not None:
+            speed2 = sp2_hi
         ov = jnp.asarray(0, jnp.int32) if overflow is None else overflow
         return StepStats(
             max_rho_error_pct=jnp.maximum(max_rho_error, 0.0) / rho0 * 100.0,

@@ -559,12 +559,20 @@ class WindowDomain:
                 # with the owner's values)
                 return eng._pair_core(pk, ctx, g, half_f, damp_f)
 
-            def tick_stats(pk, rho_col, ovf, ov_by=None, stale=None):
+            def tick_stats(pk, rho_col, ovf, ov_by=None, stale=None,
+                           rho_hi=None, sp2_hi=None):
+                # rho_hi/sp2_hi: group-wide per-particle running maxima
+                # (pads zeroed) — the sampled final tick reports the GROUP
+                # max so interior-tick transients stay visible (ADVICE r4);
+                # the non-finite probe always reads the current state
                 rho0 = jnp.float32(cfg.rho_0)
                 q_valid = pk[:, 4] > 0
                 sp2 = pk[:, 2] ** 2 + pk[:, 3] ** 2
-                rho_err = jnp.max(jnp.where(q_valid, rho_col[:, 0] - rho0, -rho0))
-                speed2 = jnp.max(jnp.where(q_valid, sp2, 0.0))
+                rho_err = (jnp.max(jnp.where(q_valid, rho_col[:, 0] - rho0,
+                                             -rho0))
+                           if rho_hi is None else jnp.max(rho_hi) - rho0)
+                speed2 = (jnp.max(jnp.where(q_valid, sp2, 0.0))
+                          if sp2_hi is None else jnp.max(sp2_hi))
                 # non-finite rows scream x1e6 (TPU max drops NaN; see the
                 # per-step stats block above)
                 probe = pk[:, 0] + sp2 + rho_col[:, 0]
@@ -606,8 +614,13 @@ class WindowDomain:
                 jnp.full((halo_cap,), float(self.k_cols), jnp.float32),
             ]) * cell
 
+            # group-wide running maxima (elementwise, no reduction, no
+            # collective — folded into the sampled final tick, ADVICE r4)
+            rho_hi0 = jnp.where(pk[:, 4] > 0, pk[:, 5], 0.0)
+            sp2_hi0 = pk[:, 2] ** 2 + pk[:, 3] ** 2   # pads carry u = v = 0
+
             def carried(carry, g_j):
-                pk, acc = carry
+                pk, acc, rho_hi, sp2_hi = carry
                 # full kick-drift in layout space (ghost rows drift with
                 # locally-computed — wrong — acc, then get overwritten by
                 # the owner's values below)
@@ -639,7 +652,10 @@ class WindowDomain:
                 stale = jnp.sum(
                     (live & (dx * dx + dy * dy > margin2)).astype(jnp.int32))
                 pk, acc = pair_passes(pk, g_j)
-                return (pk, acc), stale
+                rho_hi = jnp.maximum(rho_hi, jnp.where(live, pk[:, 5], 0.0))
+                sp2_hi = jnp.maximum(sp2_hi,
+                                     pk[:, 2] ** 2 + pk[:, 3] ** 2)
+                return (pk, acc, rho_hi, sp2_hi), stale
 
             # Carried ticks return only the LOCAL stale count — stats are
             # SAMPLED (round 4, mirroring engine_v3.make_multi_step): the
@@ -651,13 +667,15 @@ class WindowDomain:
             # change within a group, the stale guard still runs every tick
             # (one batched vector psum), and a non-finite state persists so
             # the scream is delayed at most k-1 ticks.
-            (pk, acc), stales_local = jax.lax.scan(carried, (pk, acc),
-                                                   g_group[1:])
+            (pk, acc, rho_hi, sp2_hi), stales_local = jax.lax.scan(
+                carried, (pk, acc, rho_hi0, sp2_hi0), g_group[1:])
             stales = jax.lax.psum(stales_local, self.axis)
             # the fused kernel wrote the last tick's rho into pk col 5, so
             # tick_stats needs no carried density output — a (n, 1) rho
-            # column suffices
-            st_last = tick_stats(pk, pk[:, 5:6], jnp.asarray(0, jnp.int32))
+            # column suffices; the group-wide running maxima ride in as
+            # rho_hi/sp2_hi so the sampled tick reports the group max
+            st_last = tick_stats(pk, pk[:, 5:6], jnp.asarray(0, jnp.int32),
+                                 rho_hi=rho_hi, sp2_hi=sp2_hi)
             k1 = g_group.shape[0] - 1
             zf = jnp.zeros((k1,), jnp.float32)
             zi = jnp.zeros((k1,), jnp.int32)

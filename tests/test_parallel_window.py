@@ -389,3 +389,28 @@ def test_dd_settle_damps_the_startup_transient(scene):
     f = runner.domain.gather(res.sim)
     assert np.isfinite(np.asarray(f.x)).all()
     assert np.isfinite(np.asarray(f.u)).all()
+
+
+def test_dd_sampled_stats_report_group_max(scene):
+    """DD twin of test_window_engine.test_sampled_stats_report_group_max
+    (ADVICE r4): the sticky group's sampled final tick must report the
+    group-wide max of rho error / speed (carried ticks fold per-particle
+    running maxima; one pmax collective on the sampled tick only)."""
+    cfg, fluid, boundary, bgrid = scene
+    dd = WindowDomain(cfg, boundary, bgrid, fluid.n, _mesh(4), **KW)
+    state = dd.init(fluid)
+    k, n_groups = 4, 2
+    g = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (k * n_groups, 2))
+    _, st1 = jax.jit(dd.make_multi_step(resort_every=1))(state, g)
+    _, stk = jax.jit(dd.make_multi_step(resort_every=k))(state, g)
+    sp1 = np.asarray(st1["max_speed"])
+    rho1 = np.asarray(st1["max_rho_error_pct"])
+    spk = np.asarray(stk["max_speed"])
+    rhok = np.asarray(stk["max_rho_error_pct"])
+    for i in range(n_groups):
+        lo, hi = i * k, (i + 1) * k
+        np.testing.assert_allclose(spk[lo], sp1[lo], rtol=1e-5)
+        np.testing.assert_allclose(spk[hi - 1], sp1[lo:hi].max(), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(rhok[hi - 1], rho1[lo:hi].max(),
+                                   rtol=1e-3, atol=1e-3)

@@ -255,3 +255,56 @@ def test_kernel_epilogue_contract(scene, engine, primed):
     np.testing.assert_array_equal(pk_next[:, 5], rp[:, 0])         # rho
     np.testing.assert_array_equal(pk_next[:, 6], rp[:, 1])         # p
     np.testing.assert_array_equal(pk_next[:, 7], pk_np[:, 7])      # id
+
+
+def test_sampled_stats_report_group_max(scene, engine, primed):
+    """Sticky-group SAMPLED stats must report the GROUP max, not the final
+    tick's value (ADVICE r4): carried ticks fold rho/speed into per-particle
+    running maxima, so the sampled final tick equals the max over the
+    group's per-tick exact stats."""
+    psim, _ = primed
+    k, n_groups = 3, 2
+    g = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (k * n_groups, 2))
+    _, st1 = jax.jit(engine.make_multi_step(resort_every=1))(psim, g)
+    _, stk = jax.jit(engine.make_multi_step(resort_every=k))(psim, g)
+    sp1 = np.asarray(st1.max_speed)
+    rho1 = np.asarray(st1.max_rho_error_pct)
+    spk = np.asarray(stk.max_speed)
+    rhok = np.asarray(stk.max_rho_error_pct)
+    for i in range(n_groups):
+        lo, hi = i * k, (i + 1) * k
+        # fresh tick reports its own exact stats
+        np.testing.assert_allclose(spk[lo], sp1[lo], rtol=1e-5)
+        # sampled final tick reports the group-wide max
+        np.testing.assert_allclose(spk[hi - 1], sp1[lo:hi].max(), rtol=1e-4)
+        np.testing.assert_allclose(rhok[hi - 1], rho1[lo:hi].max(),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_sampled_stats_see_interior_transient(scene):
+    """An interior-tick speed spike must reach the reporter.  Ballistic
+    particles thrown upward decelerate under gravity, so within a sticky
+    group the max speed is at the FIRST carried tick — a final-tick-only
+    sample would under-report it (the exact regression ADVICE r4 flagged)."""
+    cfg, _, boundary, bgrid = scene
+    from pi_sph_fluid_tpu.state import FluidState
+
+    # 4 particles > 2H apart: self-density only (rho < rho_0 -> p clamps
+    # to 0), so the dynamics are pure gravity and speed strictly decays
+    xs = jnp.asarray([0.8, 1.6, 2.4, 3.2], jnp.float32)
+    one = jnp.ones(4, jnp.float32)
+    fl = FluidState(x=xs, y=1.0 * one, u=0.0 * one, v=2.0 * one,
+                    m=cfg.particle_mass * one, rho=cfg.rho_0 * one,
+                    p=0.0 * one)
+    eng = WindowEngine(cfg, boundary, bgrid, 4, **ENGINE_KW)
+    sim = eng.prime(fl, G)
+    k = 4
+    g = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (k, 2))
+    _, st1 = jax.jit(eng.make_multi_step(resort_every=1))(sim, g)
+    _, stk = jax.jit(eng.make_multi_step(resort_every=k))(sim, g)
+    sp1 = np.asarray(st1.max_speed)
+    assert sp1[0] > sp1[k - 1] + 1e-3   # the transient is real
+    # the sampled tick must carry the group max (tick 0's speed), not the
+    # decayed final-tick speed
+    np.testing.assert_allclose(np.asarray(stk.max_speed)[k - 1], sp1.max(),
+                               rtol=1e-5)
