@@ -141,6 +141,8 @@ def cmd_run(args):
     print(f"n_boundary = {braw.n}")
     render_shape = _parse_render_shape(args.render_shape)
     engine_opts = dict(cap=args.cap)
+    if args.band is not None:
+        engine_opts["band"] = args.band
     if args.backend == "pallas-dd" and args.slabs:
         engine_opts["slabs"] = args.slabs
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
@@ -231,6 +233,8 @@ def cmd_bench(args):
     # escalation (a recompile) would distort the number; overflow shows in
     # the JSON instead
     engine_opts = dict(cap=args.cap)
+    if args.band is not None:
+        engine_opts["band"] = args.band
     if args.backend == "pallas-dd" and args.slabs:
         engine_opts["slabs"] = args.slabs
     runner = SimRunner(cfg, fluid, braw, backend=args.backend,
@@ -327,6 +331,11 @@ def main(argv=None):
     rp.add_argument("--no-auto-cap", action="store_true",
                     help="disable elastic capacity recovery; overflow is "
                          "still counted and reported")
+    rp.add_argument("--band", type=int, default=None,
+                    help="banded candidate gather: fluid band rows per "
+                         "chunk (0 disables; default auto — on above "
+                         "~164k source rows, where XLA's row gather "
+                         "leaves its fast small-source mode)")
     rp.add_argument("--resort-every", type=int, default=8,
                     help="sticky-layout interval: re-sort the grid every k "
                          "steps.  Guarded at runtime: every carried tick "
@@ -361,6 +370,9 @@ def main(argv=None):
     bp.add_argument("--render", action="store_true", help="include rendering in the loop")
     bp.add_argument("--cap", type=int, default=256)
     bp.add_argument("--resort-every", type=int, default=8)
+    bp.add_argument("--band", type=int, default=None,
+                    help="banded candidate gather rows (0=off, "
+                         "default auto)")
     bp.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

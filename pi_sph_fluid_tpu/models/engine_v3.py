@@ -87,13 +87,14 @@ class WindowEngine:
         seg_q: int = 2,
         planes: int = 2,
         interpret: bool = False,
+        band: int | None = None,
     ):
         self.cfg = cfg
         self.n_real = int(n_real)
         assert n_real < (1 << 24), "float-valued ids are exact only below 2^24"
         nb = int(boundary.x.shape[0])
         self.spec = triple_spec(cfg, self.n_real, nb, tq, qb, cap, seg_q,
-                                planes)
+                                planes, band)
         self.interpret = interpret
         self.boundary = boundary
         self.b_cell_starts = boundary_grid.cell_starts
@@ -147,9 +148,37 @@ class WindowEngine:
                           cell_ids(packed_new[:, 0], packed_new[:, 1], cfg),
                           cfg.n_cells)
         w_start, w_len, flen, overflow = block_windows(spec, cfg, cells, T)
+        band_start = band_local = None
+        if spec.band_h:
+            # banded-gather plan (see TripleSpec.band_h): chunk trip_src,
+            # rebase each chunk's fluid indices to its min-start band and
+            # its boundary/inert indices to the tail slots appended after
+            # the band.  Indices are frozen per relayout, so this one
+            # elementwise pass amortizes over the sticky group.
+            P, Lc, h = spec.band_p, spec.band_lc, spec.band_h
+            nl = spec.n_layout
+            tsr = jnp.pad(trip_src, (0, P * Lc - spec.L),
+                          constant_values=spec.n_src - 1).reshape(P, Lc)
+            is_b = tsr >= nl
+            f_idx = jnp.where(is_b, jnp.int32(1 << 30), tsr)
+            band_start = jnp.clip(jnp.min(f_idx, axis=1), 0, nl - h)
+            band_local = jnp.where(is_b, tsr - nl + h,
+                                   tsr - band_start[:, None])
+            # a chunk whose fluid span outruns the band would read the
+            # boundary-tail rows appended after it — corrupt values, so it
+            # screams x1e6 like row-capacity losses (counted, never
+            # silent).  Boundary/inert locals are valid by construction
+            # ([h, h + nb]; trip_src is clamped to n_src - 1), and fluid
+            # locals cannot be negative (start <= the chunk's min fluid
+            # index), so the only corruption channel is fluid >= h.
+            bad = jnp.sum(~is_b & (band_local >= h))
+            overflow = overflow + \
+                jnp.minimum(bad, 1000).astype(jnp.int32) * jnp.int32(1_000_000)
+            band_local = jnp.clip(band_local, 0, h + spec.n_src - nl - 1)
         ctx = TripleCtx(layout_src=layout_src, trip_src=trip_src,
                         w_start=w_start, w_len=w_len, flen=flen, T=T,
-                        overflow=overflow)
+                        overflow=overflow, band_start=band_start,
+                        band_local=band_local)
         return packed_new, ctx, overflow
 
     # ------------------------------------------------------------------
@@ -184,6 +213,30 @@ class WindowEngine:
         to build, half the candidate HBM."""
         return a if self.spec.planes == 1 else self._dual(a)
 
+    def _take(self, src, ctx: TripleCtx):
+        """Candidate gather: (n_src, k) -> (L, k) rows at ctx.trip_src.
+
+        Banded when spec.band_h > 0 (see TripleSpec): XLA's row gather
+        drops ~2.5-9x off its fast mode once the source outgrows ~230k
+        rows (measured on v5e, tools/gather_cliff_probe.py), so each
+        LANE-rounded chunk of trip_src gathers from an h-row
+        dynamic-slice band of the source plus the static boundary+inert
+        tail — every local source stays in the fast small-source mode at
+        any scale.  Bitwise-identical rows to the plain gather whenever
+        the band-overflow scream (in ctx.overflow) reads 0."""
+        spec = self.spec
+        if not spec.band_h or ctx.band_start is None:
+            return src[ctx.trip_src]
+        k = src.shape[1]
+        h = spec.band_h
+        tail = src[spec.n_layout:]          # boundary + inert (static slice)
+        outs = []
+        for p in range(spec.band_p):
+            band = jax.lax.dynamic_slice(
+                src, (ctx.band_start[p], jnp.int32(0)), (h, k))
+            outs.append(jnp.concatenate([band, tail], 0)[ctx.band_local[p]])
+        return jnp.concatenate(outs, axis=0)[:spec.L]
+
     def _pair_core(self, packed, ctx: TripleCtx, g,
                    half_dt: float = 0.0, damp: float = 1.0):
         """density -> EOS -> forces -> trailing half-kick over one
@@ -214,13 +267,13 @@ class WindowEngine:
             jnp.concatenate([packed[:, 0:2], packed[:, 4:5], self._zcol],
                             axis=1),
             self.b_geo_d, self.inert_row_d], axis=0)
-        geo_d = self._expand(geo_d_src[ctx.trip_src].T)     # (4, planes*L)
+        geo_d = self._expand(self._take(geo_d_src, ctx).T)  # (4, planes*L)
         geo8, rp = density_window_call(packed, geo_d, ctx.w_start, ctx.flen,
                                        cfg, spec, interpret=self.interpret)
         # force candidates: fluid rows straight from the density kernel
         geo_f_src = jnp.concatenate([geo8, self.b_geo, self.inert_row],
                                     axis=0)
-        geo_f = self._expand(geo_f_src[ctx.trip_src].T)     # (8, planes*L)
+        geo_f = self._expand(self._take(geo_f_src, ctx).T)  # (8, planes*L)
         pk_next, acc = forces_window_call(
             packed, geo8, rp, geo_f, ctx.w_start, ctx.flen, g, cfg, spec,
             half_dt=half_dt, damp=damp, interpret=self.interpret)

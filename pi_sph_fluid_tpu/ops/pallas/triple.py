@@ -91,6 +91,19 @@ class TripleSpec(NamedTuple):
                      # DMA starts, waste < 64 lanes); 1 = exact-start single
                      # plane (zero waste, flen == w_len; requires the DMA
                      # engine to accept arbitrary lane offsets)
+    # banded candidate gather (round 5): XLA's row gather falls off a
+    # measured cost cliff when the SOURCE outgrows ~7-8 MB on v5e
+    # (~230k 8-col f32 rows: 0.99 -> 2.45 ms at 252k -> 8.9 ms at 300k
+    # for the same 560k-row index set), which made the gathers ~60% of a
+    # 500k tick and the dominant cost at 1M+.  trip_src is segment-ordered
+    # — each contiguous index chunk reads one contiguous LAYOUT band plus
+    # the boundary tail — so chunking L and gathering each chunk from an
+    # h-row dynamic-slice of the source keeps every gather in the fast
+    # small-source mode at ANY scale (measured 1.6x/3.0x on the real
+    # 500k trip_src, 11-68x on synthetic 1M shapes).
+    band_h: int = 0   # fluid band rows per chunk (0 = plain gather)
+    band_p: int = 1   # number of L chunks
+    band_lc: int = 0  # candidate slots per chunk (LANE-rounded)
 
     @property
     def nqb(self) -> int:
@@ -114,6 +127,11 @@ class TripleCtx(NamedTuple):
     T:          (n_cells+1, 8) int32 — the per-cell window table [wlo, whi]
                 (renderer frame reuse maps pixel blocks through it)
     overflow:   () int32 — window lanes beyond cap (must be 0)
+    band_start: (band_p,) int32 — per-chunk fluid-band start rows (banded
+                gather; None when spec.band_h == 0)
+    band_local: (band_p, band_lc) int32 — per-chunk band-local candidate
+                indices: fluid rows rebased to the chunk's band, boundary /
+                inert rows to [band_h, band_h + nb] (None when unbanded)
     """
 
     layout_src: jnp.ndarray
@@ -123,11 +141,26 @@ class TripleCtx(NamedTuple):
     flen: jnp.ndarray
     T: jnp.ndarray
     overflow: jnp.ndarray
+    band_start: jnp.ndarray = None
+    band_local: jnp.ndarray = None
+
+
+# banded-gather sizing: keep each chunk's local source (band + boundary
+# tail) comfortably inside the measured fast-mode region (~7-8 MB for an
+# 8-col f32 source on v5e; 98304 rows + tail ~= 3.2 MB at k=8, 2x margin)
+BAND_H_DEFAULT = 98_304
+# below ~160k source rows the plain gather is already in fast mode and
+# banding only adds slice/concat traffic — auto-banding stays off
+BAND_AUTO_MIN = 163_840
+# per-chunk layout-span overhang beyond n_layout/P: the +-1 cover rows and
+# partial segments at the chunk edges (~2-3 grid rows; <= ~9.5k layout
+# slots/row at 4M).  Overruns are COUNTED into neighbor_overflow (x1e6).
+BAND_SLACK = 16_384
 
 
 def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
                 qb: int = 16, cap: int = 256, seg_q: int = 3,
-                planes: int = 2) -> TripleSpec:
+                planes: int = 2, band: int | None = None) -> TripleSpec:
     assert tq % qb == 0 and cap % LANE == 0
     assert planes in (1, 2)
     n_rows = cfg.n_cell_rows
@@ -144,9 +177,31 @@ def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
     copies = 3 if seg_q == 1 else 2
     L = _round_up(copies * (n_real + nb) + n_seg * (cap + 3 * LANE) + 2 * LANE, LANE)
     n_runs = n_seg * (cfg.n_cell_cols * cover * 2 + 1)
+    n_src = n_layout + nb + 1
+    # banded-gather plan: band = None -> auto (on above BAND_AUTO_MIN
+    # source rows), 0 -> plain gather, > 0 -> explicit band rows
+    if band is None:
+        band = BAND_H_DEFAULT if n_src > BAND_AUTO_MIN else 0
+    band_h = band_p = band_lc = 0
+    if band and band < n_layout:
+        band_h = int(band)
+        # Chunk sizing bound: every particle appears in exactly `copies`
+        # segments, and boundary rows / segment guards consume candidate
+        # slots WITHOUT consuming fluid-layout span, so a chunk of Lc
+        # candidate slots spans at most ~Lc/copies layout slots — plus an
+        # overhang of a few partial rows/segments at the chunk edges
+        # (row-size-scaled slack; the 4M pool overflowed a flat 16k).
+        # Undersized bands are COUNTED into neighbor_overflow (x1e6), so
+        # a pathological density that beats this sizing screams and the
+        # elastic-recovery ladder rebuilds — never silent corruption.
+        row_avg = n_layout // max(n_rows, 1)
+        slack = min(max(BAND_SLACK, 6 * row_avg), max(band_h // 2, 1))
+        band_p = -(-(L // copies) // max(band_h - slack, 1))
+        band_lc = _round_up(-(-L // max(band_p, 1)), LANE)
+        band_p = -(-L // band_lc)      # re-derive after LANE rounding
     return TripleSpec(tq=tq, qb=qb, cap=cap, seg_q=seg_q, n_layout=n_layout,
-                      L=L, n_src=n_layout + nb + 1, n_runs=n_runs,
-                      planes=planes)
+                      L=L, n_src=n_src, n_runs=n_runs, planes=planes,
+                      band_h=band_h, band_p=max(band_p, 1), band_lc=band_lc)
 
 
 def build_frame(

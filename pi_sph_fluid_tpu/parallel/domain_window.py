@@ -92,6 +92,7 @@ class WindowDomain:
         seg_q: int = 2,
         planes: int = 2,
         interpret: bool = False,
+        band: int | None = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -178,7 +179,7 @@ class WindowDomain:
         from ..ops.pallas.triple import triple_spec
 
         self.spec = triple_spec(self.lcfg, n_local, nb_cap, tq, qb, cap,
-                                seg_q, planes)
+                                seg_q, planes, band)
         eng = object.__new__(WindowEngine)
         eng.cfg = self.lcfg
         eng.n_real = n_local

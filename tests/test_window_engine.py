@@ -308,3 +308,32 @@ def test_sampled_stats_see_interior_transient(scene):
     # decayed final-tick speed
     np.testing.assert_allclose(np.asarray(stk.max_speed)[k - 1], sp1.max(),
                                rtol=1e-5)
+
+
+def test_banded_gather_bitwise(scene, engine, primed):
+    """The banded candidate gather (TripleSpec.band_h — keeps XLA's row
+    gather in its fast small-source mode at large N) must select exactly
+    the same rows as the plain gather: trajectories are BITWISE identical
+    whenever the band-overflow scream reads 0."""
+    cfg, fluid, boundary, bgrid = scene
+    psim, _ = primed
+    eb = WindowEngine(cfg, boundary, bgrid, fluid.n, band=448, **ENGINE_KW)
+    assert eb.spec.band_h == 448 and eb.spec.band_p > 1
+    sb = eb.prime(fluid, G)
+    np.testing.assert_array_equal(np.asarray(psim.packed), np.asarray(sb.packed))
+    g = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (8, 2))
+    r0, st0 = jax.jit(engine.make_multi_step(resort_every=4))(psim, g)
+    r1, st1 = jax.jit(eb.make_multi_step(resort_every=4))(sb, g)
+    np.testing.assert_array_equal(np.asarray(r0.packed), np.asarray(r1.packed))
+    assert int(jnp.max(st1.neighbor_overflow)) == 0
+
+
+def test_band_overflow_screams(scene):
+    """A band too small for the chunk spans must scream x1e6 through the
+    overflow channel (counted, never silent) instead of silently gathering
+    boundary-tail rows."""
+    cfg, fluid, boundary, bgrid = scene
+    eb = WindowEngine(cfg, boundary, bgrid, fluid.n, band=96, **ENGINE_KW)
+    pk = eb._initial_packed(fluid)
+    _, _, ovf = jax.jit(eb._relayout)(pk)
+    assert int(ovf) >= 1_000_000

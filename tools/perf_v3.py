@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--resorts", type=str, default="1,4")
     ap.add_argument("--pieces", action="store_true")
+    ap.add_argument("--band", type=int, default=None,
+                    help="banded candidate gather: band rows (0=off, "
+                         "unset=auto per triple_spec)")
     ap.add_argument("--concatfree", action="store_true",
                     help="probe: pad-form kick-drift with (pk, acc) "
                          "carries — no column extracts, no concat "
@@ -49,9 +52,11 @@ def main():
     g = jnp.asarray((0.0, -9.81), jnp.float32)
 
     eng = WindowEngine(cfg, boundary, bgrid, fluid.n, tq=args.tq, qb=args.qb,
-                       cap=args.cap, seg_q=args.seg_q, planes=args.planes)
+                       cap=args.cap, seg_q=args.seg_q, planes=args.planes,
+                       band=args.band)
     print(f"n={fluid.n} n_layout={eng.spec.n_layout} L={eng.spec.L} "
-          f"tiles={eng.spec.n_tiles}")
+          f"tiles={eng.spec.n_tiles} band_h={eng.spec.band_h} "
+          f"band_p={eng.spec.band_p}")
     sim = eng.prime(fluid, (0.0, -9.81))
     jax.block_until_ready(sim.packed)
 
