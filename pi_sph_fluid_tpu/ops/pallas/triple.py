@@ -149,6 +149,15 @@ class TripleCtx(NamedTuple):
 # tail) comfortably inside the measured fast-mode region (~7-8 MB for an
 # 8-col f32 source on v5e; 98304 rows + tail ~= 3.2 MB at k=8, 2x margin)
 BAND_H_DEFAULT = 98_304
+# big sources prefer bigger bands: the optimum trades per-chunk dispatch
+# overhead against per-row local-source cost, and the balance tips toward
+# fewer, larger chunks as P grows.  Same-session r64 A/Bs (tools/band_ab):
+# 250k best at 98304 (22.85M vs 21.79 at 131072), 500k a wash
+# (23.24/23.27), 1M 196608 wins (23.04M vs 21.86 at 98304), 2M 22.72M
+# (+24% over plain), 4M 22.28M (+41%) — 196608 + tail stays ~6.5 MB,
+# still under the cliff.  Threshold between the two sits past 500k rows.
+BAND_H_LARGE = 196_608
+BAND_LARGE_MIN = 600_000
 # below ~160k source rows the plain gather is already in fast mode and
 # banding only adds slice/concat traffic — auto-banding stays off
 BAND_AUTO_MIN = 163_840
@@ -181,7 +190,8 @@ def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
     # banded-gather plan: band = None -> auto (on above BAND_AUTO_MIN
     # source rows), 0 -> plain gather, > 0 -> explicit band rows
     if band is None:
-        band = BAND_H_DEFAULT if n_src > BAND_AUTO_MIN else 0
+        band = (0 if n_src <= BAND_AUTO_MIN else
+                BAND_H_DEFAULT if n_src <= BAND_LARGE_MIN else BAND_H_LARGE)
     band_h = band_p = band_lc = 0
     if band and band < n_layout:
         band_h = int(band)
