@@ -40,8 +40,9 @@ import jax.numpy as jnp
 from ..config import SPHConfig
 from ..state import BoundaryState, FluidState
 from ..ops.grid import GridContext, cell_ids
-from ..ops.pallas.triple import (INERT_X, TripleCtx, TripleSpec,
-                                 block_windows, build_frame, triple_spec)
+from ..ops.pallas.triple import (INERT_X, TripleCtx, TripleSpec, band_plan,
+                                 block_windows, build_frame, take_banded,
+                                 triple_spec)
 from ..ops.pallas.window_kernels import density_window_call, forces_window_call
 from .simulation import StepStats
 
@@ -150,31 +151,19 @@ class WindowEngine:
         w_start, w_len, flen, overflow = block_windows(spec, cfg, cells, T)
         band_start = band_local = None
         if spec.band_h:
-            # banded-gather plan (see TripleSpec.band_h): chunk trip_src,
-            # rebase each chunk's fluid indices to its min-start band and
-            # its boundary/inert indices to the tail slots appended after
-            # the band.  Indices are frozen per relayout, so this one
-            # elementwise pass amortizes over the sticky group.
-            P, Lc, h = spec.band_p, spec.band_lc, spec.band_h
-            nl = spec.n_layout
-            tsr = jnp.pad(trip_src, (0, P * Lc - spec.L),
-                          constant_values=spec.n_src - 1).reshape(P, Lc)
-            is_b = tsr >= nl
-            f_idx = jnp.where(is_b, jnp.int32(1 << 30), tsr)
-            band_start = jnp.clip(jnp.min(f_idx, axis=1), 0, nl - h)
-            band_local = jnp.where(is_b, tsr - nl + h,
-                                   tsr - band_start[:, None])
-            # a chunk whose fluid span outruns the band would read the
-            # boundary-tail rows appended after it — corrupt values, so it
-            # screams x1e6 like row-capacity losses (counted, never
-            # silent).  Boundary/inert locals are valid by construction
-            # ([h, h + nb]; trip_src is clamped to n_src - 1), and fluid
-            # locals cannot be negative (start <= the chunk's min fluid
-            # index), so the only corruption channel is fluid >= h.
-            bad = jnp.sum(~is_b & (band_local >= h))
+            # banded-gather plan (triple.band_plan): indices are frozen
+            # per relayout, so the one elementwise rebase pass amortizes
+            # over the sticky group.  A chunk whose fluid span outruns
+            # the band would read the boundary-tail rows appended after
+            # it — corrupt values, so it screams x1e6 like row-capacity
+            # losses (counted, never silent).  Boundary/inert locals are
+            # valid by construction ([h, h + nb]; trip_src is clamped to
+            # n_src - 1), and fluid locals cannot be negative (start <=
+            # the chunk's min fluid index), so the only corruption
+            # channel is fluid >= h.
+            band_start, band_local, bad = band_plan(spec, trip_src)
             overflow = overflow + \
                 jnp.minimum(bad, 1000).astype(jnp.int32) * jnp.int32(1_000_000)
-            band_local = jnp.clip(band_local, 0, h + spec.n_src - nl - 1)
         ctx = TripleCtx(layout_src=layout_src, trip_src=trip_src,
                         w_start=w_start, w_len=w_len, flen=flen, T=T,
                         overflow=overflow, band_start=band_start,
@@ -227,15 +216,7 @@ class WindowEngine:
         spec = self.spec
         if not spec.band_h or ctx.band_start is None:
             return src[ctx.trip_src]
-        k = src.shape[1]
-        h = spec.band_h
-        tail = src[spec.n_layout:]          # boundary + inert (static slice)
-        outs = []
-        for p in range(spec.band_p):
-            band = jax.lax.dynamic_slice(
-                src, (ctx.band_start[p], jnp.int32(0)), (h, k))
-            outs.append(jnp.concatenate([band, tail], 0)[ctx.band_local[p]])
-        return jnp.concatenate(outs, axis=0)[:spec.L]
+        return take_banded(spec, src, ctx.band_start, ctx.band_local)
 
     def _pair_core(self, packed, ctx: TripleCtx, g,
                    half_dt: float = 0.0, damp: float = 1.0):

@@ -214,6 +214,50 @@ def triple_spec(cfg: SPHConfig, n_real: int, nb: int, tq: int = 256,
                       band_h=band_h, band_p=max(band_p, 1), band_lc=band_lc)
 
 
+def band_plan(spec: TripleSpec, trip_src: jnp.ndarray):
+    """Banded-gather index rebase (see TripleSpec.band_h): chunk trip_src
+    into (band_p, band_lc), rebase each chunk's fluid indices to its
+    min-start h-row band and its boundary/inert indices to the tail slots
+    appended after the band.  Returns (band_start (P,), band_local
+    (P, Lc), bad) — ``bad`` counts fluid indices whose chunk span outran
+    the band (they would read corrupt tail rows; callers fold it into
+    their overflow scream, x1e6-scaled, counted never silent).
+
+    One elementwise pass over L; amortizes over a sticky group in the
+    engine and is noise next to the gather it accelerates in the
+    renderer's per-frame use."""
+    P, Lc, h = spec.band_p, spec.band_lc, spec.band_h
+    nl = spec.n_layout
+    tsr = jnp.pad(trip_src, (0, P * Lc - spec.L),
+                  constant_values=spec.n_src - 1).reshape(P, Lc)
+    is_b = tsr >= nl
+    f_idx = jnp.where(is_b, jnp.int32(1 << 30), tsr)
+    band_start = jnp.clip(jnp.min(f_idx, axis=1), 0, nl - h)
+    band_local = jnp.where(is_b, tsr - nl + h, tsr - band_start[:, None])
+    bad = jnp.sum(~is_b & (band_local >= h))
+    band_local = jnp.clip(band_local, 0, h + spec.n_src - nl - 1)
+    return band_start, band_local, bad
+
+
+def take_banded(spec: TripleSpec, src: jnp.ndarray, band_start: jnp.ndarray,
+                band_local: jnp.ndarray) -> jnp.ndarray:
+    """Banded row gather (n_src, k) -> (L, k): each LANE-rounded chunk of
+    trip_src gathers from an h-row `dynamic_slice` band of the source
+    plus the static boundary+inert tail, keeping every local source in
+    XLA's fast small-source gather mode at any scale (the ~7-8 MB cliff,
+    ROOFLINE 2f / tools/gather_cliff_probe.py).  Bitwise-identical rows
+    to ``src[trip_src]`` whenever the plan's ``bad`` count reads 0."""
+    k = src.shape[1]
+    h = spec.band_h
+    tail = src[spec.n_layout:]          # boundary + inert (static slice)
+    outs = []
+    for p in range(spec.band_p):
+        band = jax.lax.dynamic_slice(
+            src, (band_start[p], jnp.int32(0)), (h, k))
+        outs.append(jnp.concatenate([band, tail], 0)[band_local[p]])
+    return jnp.concatenate(outs, axis=0)[:spec.L]
+
+
 def build_frame(
     spec: TripleSpec,
     cfg: SPHConfig,

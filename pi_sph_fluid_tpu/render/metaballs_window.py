@@ -30,7 +30,8 @@ from ..config import SPHConfig
 from ..core.kernels import kernel_w_scalar
 from ..models.scene import pixel_centers
 from ..ops.grid import cell_ids
-from ..ops.pallas.triple import TripleSpec, build_frame
+from ..ops.pallas.triple import (TripleSpec, band_plan, build_frame,
+                                 take_banded)
 from ..ops.pallas.window_kernels import (_chunk_dispatch, _doublebuffer,
                                          _pad8, _span_specs, _wait_windows,
                                          LANE)
@@ -323,7 +324,19 @@ class WindowRenderer:
         slim = jnp.concatenate([packed[:, 0:2], packed[:, 4:5], zcol], axis=1)
         src = jnp.concatenate(
             [slim, jnp.zeros((self.n_boundary + 1, 4), jnp.float32)], axis=0)
-        g4 = src[trip_src].T                       # (4, L_engine)
+        if espec.band_h:
+            # the engine's source sits above XLA's large-source gather
+            # cliff whenever banding is on (same n_src, ROOFLINE 2f) —
+            # rebase per frame (one elementwise pass, noise next to the
+            # gather) and band-gather; a span overrun folds into the
+            # render overflow scream like the engine's does
+            b_start, b_local, bad = band_plan(espec, trip_src)
+            g4 = take_banded(espec, src, b_start, b_local).T
+            band_overflow = jnp.minimum(bad, 1000).astype(jnp.int32) \
+                * jnp.int32(1_000_000)
+        else:
+            g4 = src[trip_src].T                   # (4, L_engine)
+            band_overflow = jnp.int32(0)
         # the pixel cap exceeds the engine's per-segment guard budget, so a
         # window fetch may overrun the engine L — pad each plane by cap
         # zeros and rebase the shifted plane at L + cap
@@ -338,7 +351,8 @@ class WindowRenderer:
             spec.cap, l_pad, cfg.n_cells)
         out = field_call(cfg, spec, self.interpret, self.q_packed, geo,
                          fetch, flen)
-        return out[self.unsort, 0] * jnp.float32(self.field_scale), overflow
+        return (out[self.unsort, 0] * jnp.float32(self.field_scale),
+                overflow + band_overflow)
 
     def render(self, sim) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(page-packed framebuffer, window overflow count).

@@ -124,3 +124,31 @@ def test_framebuffer_matches_golden_c(setup):
         gimg = unpack_framebuffer(golden["framebuffers"][dump])
         agree = (img == gimg).mean()
         assert agree >= 0.995, f"dump {dump}: pixel agreement {agree:.4f}"
+
+
+def test_field_from_frame_banded_bitwise(setup):
+    """With banding on (TripleSpec.band_h), the frame-reuse render gather
+    runs banded too (the render source crosses XLA's large-source cliff
+    at the same n_src the engine's does, ROOFLINE 2f) — the field must be
+    BITWISE identical to the plain-gather engine's frame-reuse field."""
+    from pi_sph_fluid_tpu.models.scene import build_drop_scene as _bds
+    from pi_sph_fluid_tpu.models.boundary import prepare_boundary as _pb
+    from pi_sph_fluid_tpu.render.metaballs_window import WindowRenderer
+
+    fluid, braw = _bds(CFG)
+    boundary, bgrid = _pb(braw, CFG)
+    gt = jnp.broadcast_to(jnp.asarray(G, jnp.float32), (8, 2))
+    fields = {}
+    for band in (0, 448):
+        eng = WindowEngine(CFG, boundary, bgrid, fluid.n, band=band,
+                           **ENGINE_KW)
+        sim = eng.prime(fluid, G)
+        multi = jax.jit(eng.make_multi_step(resort_every=4,
+                                            return_frame=True))
+        sim, st, frame = multi(sim, gt)
+        assert int(np.max(np.asarray(st.neighbor_overflow))) == 0
+        rend = WindowRenderer(eng, 64, 128)
+        f, ov = jax.jit(rend.field_from_frame)(sim, frame)
+        assert int(ov) == 0
+        fields[band] = np.asarray(f)
+    assert fields[448].tobytes() == fields[0].tobytes()

@@ -29,16 +29,18 @@ def main():
     ap.add_argument("--rows", type=int, default=64)
     ap.add_argument("--cols", type=int, default=128)
     ap.add_argument("--resort", type=int, default=4)
+    ap.add_argument("--band", type=int, default=None,
+                    help="engine band rows (0=plain gather, default auto)")
     args = ap.parse_args()
 
     r = math.sqrt(6.35 / args.n)
     cfg = sph.SPHConfig(r=r)
     fluid, braw = sph.build_pool_scene(cfg)
     boundary, bgrid = sph.prepare_boundary(braw, cfg)
-    eng = WindowEngine(cfg, boundary, bgrid, fluid.n)
+    eng = WindowEngine(cfg, boundary, bgrid, fluid.n, band=args.band)
     rend = WindowRenderer(eng, args.rows, args.cols)
-    print(f"n={fluid.n} reuse_cap={rend.reuse_cap} self_cap={rend.fspec.cap} "
-          f"px_layout={rend.spec.n_layout}")
+    print(f"n={fluid.n} band_h={eng.spec.band_h} reuse_cap={rend.reuse_cap} "
+          f"self_cap={rend.fspec.cap} px_layout={rend.spec.n_layout}")
     sim = eng.prime(fluid, (0.0, -9.81))
     multi = jax.jit(eng.make_multi_step(resort_every=args.resort,
                                         return_frame=True))
